@@ -1,0 +1,20 @@
+"""Test configuration: CPU backend with a virtual 8-device mesh and x64.
+
+Numerics-parity tests need float64 (the 1e-8 gate, SURVEY.md section 7
+"hard parts" #2); sharding tests need multiple devices.  Both are provided
+by the CPU backend -- TPU-specific kernels are exercised separately when a
+TPU is attached (see tests/test_tpu_smoke.py).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores JAX_PLATFORMS; the config update is honored.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,214 @@
+"""Unit tests: MPS primitives, gates, truncation.
+
+Mirrors the reference's unit tier (tests/test_basic_functionality.py:52-117)
+plus exact-statevector cross-checks the reference lacks.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from timecrystal_tpu.ops import cpx
+
+from timecrystal_tpu.core import gates as G
+from timecrystal_tpu.core import mps as M
+from timecrystal_tpu.core import observables as obs
+from timecrystal_tpu.core.truncate import TruncParams, apply_bond_gates, apply_two_site_gate
+
+DTYPE = jnp.float64
+
+
+class TestPauli:
+    def test_anticommutation(self):
+        p = G.pauli_matrices()
+        for a, b in [("X", "Y"), ("Y", "Z"), ("Z", "X")]:
+            anti = p[a] @ p[b] + p[b] @ p[a]
+            np.testing.assert_allclose(anti, np.zeros((2, 2)), atol=1e-14)
+
+    def test_squares_to_identity(self):
+        p = G.pauli_matrices()
+        for k in "XYZ":
+            np.testing.assert_allclose(p[k] @ p[k], np.eye(2), atol=1e-14)
+
+    def test_pi_pulse_exact(self):
+        import scipy.linalg
+        expected = scipy.linalg.expm(-1j * np.pi / 2 * G.SIGMA_X)
+        np.testing.assert_allclose(cpx.to_numpy(G.pi_pulse_gate(DTYPE)), expected, atol=1e-12)
+
+
+class TestStates:
+    @pytest.mark.parametrize("stype", ["all_up", "all_down", "neel", "random"])
+    def test_norm_one(self, stype):
+        psi = M.create_initial_state(8, stype, chi=8, dtype=DTYPE,
+                                     rng=np.random.default_rng(0))
+        assert abs(float(M.norm_squared(psi)) - 1.0) < 1e-12
+
+    def test_neel_pattern(self):
+        psi = M.create_initial_state(6, "neel", chi=4, dtype=DTYPE)
+        sz = np.asarray(obs.sz_sites(psi))
+        np.testing.assert_allclose(sz, [1, -1, 1, -1, 1, -1], atol=1e-12)
+
+    def test_statevector_roundtrip(self):
+        psi = M.create_initial_state(4, "neel", chi=4, dtype=DTYPE)
+        vec = np.asarray(M.to_statevector(psi))
+        expected = np.zeros(16)
+        # |up down up down> = indices (0,1,0,1) -> 0*8+1*4+0*2+1 = 5
+        expected[5] = 1.0
+        np.testing.assert_allclose(np.abs(vec), expected, atol=1e-12)
+
+    def test_unknown_state_raises(self):
+        with pytest.raises(ValueError):
+            M.create_initial_state(4, "bogus", chi=4)
+
+
+class TestTwoSiteGate:
+    def test_identity_gate_preserves_state(self):
+        psi = M.create_initial_state(6, "neel", chi=8, dtype=DTYPE)
+        eye = np.eye(4, dtype=complex)
+        psi2 = apply_two_site_gate(psi, eye, 2, 3, {"chi_max": 8})
+        v1 = np.asarray(M.to_statevector(psi))
+        v2 = np.asarray(M.to_statevector(psi2))
+        # global phase free
+        ov = np.vdot(v1, v2)
+        assert abs(abs(ov) - 1.0) < 1e-12
+
+    def test_nonadjacent_raises(self):
+        psi = M.create_initial_state(6, "neel", chi=8, dtype=DTYPE)
+        with pytest.raises(ValueError):
+            apply_two_site_gate(psi, np.eye(4), 1, 3)
+
+    def test_entangling_gate_vs_dense(self):
+        """CZ-like diagonal gate + Hadamard-prepared pair vs dense linalg."""
+        rng = np.random.default_rng(42)
+        L = 5
+        psi = M.create_initial_state(L, "all_up", chi=8, dtype=DTYPE)
+        # random single-site rotations to create superpositions
+        import scipy.linalg
+        svec = None
+        from tests.exact_reference import product_statevector
+        vec = product_statevector([0] * L)
+        gates1 = []
+        for i in range(L):
+            Hrand = rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+            Hrand = Hrand + Hrand.conj().T
+            U = scipy.linalg.expm(-1j * 0.3 * Hrand)
+            gates1.append(U)
+        g1 = cpx.from_numpy(np.stack(gates1), dtype=DTYPE)
+        psi = M.apply_one_site_gates(psi, g1)
+        from tests.exact_reference import _kron_at
+        for i, U in enumerate(gates1):
+            vec = _kron_at(U, [i], L) @ vec
+        # now entangle with a random two-site unitary on (1,2) then (2,3)
+        for (i, j) in [(1, 2), (2, 3), (0, 1)]:
+            Hrand = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+            Hrand = Hrand + Hrand.conj().T
+            U4 = scipy.linalg.expm(-1j * 0.7 * Hrand)
+            psi = apply_two_site_gate(psi, U4, i, j, TruncParams(chi_max=0, svd_min=1e-14))
+            vec = _kron_at(U4, [i, j], L) @ vec
+        v_mps = np.asarray(M.to_statevector(psi))
+        fidelity = abs(np.vdot(vec, v_mps))
+        assert abs(fidelity - 1.0) < 1e-10
+        # observables match exactly
+        sz_mps = np.asarray(obs.sz_sites(psi))
+        from tests.exact_reference import sz_expectations
+        np.testing.assert_allclose(sz_mps, sz_expectations(vec, L), atol=1e-10)
+
+
+class TestTruncation:
+    def test_truncation_mask_chi_max(self):
+        from timecrystal_tpu.core.truncate import truncation_mask
+        S = jnp.asarray([0.9, 0.3, 0.2, 0.1])
+        m = truncation_mask(S, 4, TruncParams(chi_max=2, svd_min=0.0))
+        np.testing.assert_array_equal(np.asarray(m), [True, True, False, False])
+
+    def test_truncation_mask_svd_min(self):
+        from timecrystal_tpu.core.truncate import truncation_mask
+        S = jnp.asarray([0.9, 0.3, 1e-13, 0.0])
+        m = truncation_mask(S, 4, TruncParams(chi_max=0, svd_min=1e-12))
+        np.testing.assert_array_equal(np.asarray(m), [True, True, False, False])
+
+    def test_trunc_cut_discards_tail(self):
+        from timecrystal_tpu.core.truncate import truncation_mask
+        S = jnp.asarray([1.0, 0.1, 0.01, 0.001])
+        # tail (0.01, 0.001): sqrt(0.0001 + 1e-6) ~ 0.01005 <= 0.02 -> both go
+        m = truncation_mask(S, 4, TruncParams(chi_max=0, svd_min=0.0, trunc_cut=0.02))
+        np.testing.assert_array_equal(np.asarray(m), [True, True, False, False])
+
+
+class TestObservables:
+    def test_loschmidt_self_is_one(self):
+        psi = M.create_initial_state(8, "neel", chi=8, dtype=DTYPE)
+        assert abs(float(obs.calculate_loschmidt_echo(psi, psi)) - 1.0) < 1e-12
+
+    def test_loschmidt_orthogonal_is_zero(self):
+        a = M.create_initial_state(8, "all_up", chi=8, dtype=DTYPE)
+        b = M.create_initial_state(8, "all_down", chi=8, dtype=DTYPE)
+        assert float(obs.calculate_loschmidt_echo(a, b)) < 1e-14
+
+    def test_magnetization_extremes(self):
+        up = M.create_initial_state(8, "all_up", chi=8, dtype=DTYPE)
+        dn = M.create_initial_state(8, "all_down", chi=8, dtype=DTYPE)
+        ne = M.create_initial_state(8, "neel", chi=8, dtype=DTYPE)
+        assert abs(float(obs.magnetization(up, "z")) - 8.0) < 1e-12
+        assert abs(float(obs.magnetization(dn, "z")) + 8.0) < 1e-12
+        assert abs(float(obs.magnetization(ne, "z"))) < 1e-12
+
+    def test_staggered_neel_is_one(self):
+        ne = M.create_initial_state(8, "neel", chi=8, dtype=DTYPE)
+        assert abs(float(obs.staggered_magnetization(ne)) - 1.0) < 1e-12
+
+    def test_correlation_product_state(self):
+        ne = M.create_initial_state(6, "neel", chi=8, dtype=DTYPE)
+        # <Z_0 Z_1> on neel = (+1)(-1) = -1; <Z_0 Z_2> = +1
+        assert abs(complex(correlation(ne, 0, 1)) + 1.0) < 1e-12
+        assert abs(complex(correlation(ne, 0, 2)) - 1.0) < 1e-12
+        assert abs(complex(correlation(ne, 3, 3)) - 1.0) < 1e-12  # Z.Z = I
+
+    def test_entropy_product_state_zero(self):
+        psi = M.create_initial_state(8, "neel", chi=8, dtype=DTYPE)
+        ent = np.asarray(M.entanglement_entropy(psi))
+        np.testing.assert_allclose(ent, 0.0, atol=1e-12)
+
+    def test_participation_ratio_normalized_state(self):
+        psi = M.create_initial_state(8, "neel", chi=8, dtype=DTYPE)
+        # densities are 1 per site -> PR = L^2 / L = L
+        assert abs(float(obs.participation_ratio(psi)) - 8.0) < 1e-10
+
+
+def correlation(psi, i, j):
+    return complex(cpx.to_numpy(obs.correlation_function(psi, "z", "z", i, j)))
+
+
+class TestSpectral:
+    def test_pure_subharmonic_high_amplitude(self):
+        t = np.arange(100) * 1.0
+        period = 2.0
+        sig = np.cos(2 * np.pi * t / (2 * period))  # period-doubled
+        amp = float(obs.extract_subharmonic_amplitude(t, sig, period))
+        assert amp > 0.8
+
+    def test_pure_fundamental_low_subharmonic(self):
+        t = np.arange(100) * 0.5
+        period = 2.0
+        sig = np.cos(2 * np.pi * t / period)
+        amp = float(obs.extract_subharmonic_amplitude(t, sig, period))
+        assert amp < 0.2
+
+    def test_short_series_returns_zero(self):
+        t = np.arange(5) * 1.0
+        assert float(obs.extract_subharmonic_amplitude(t, np.ones(5), 2.0)) == 0.0
+
+    def test_fourier_spectrum_peak_location(self):
+        t = np.arange(200) * 1.0
+        period = 4.0
+        sig = np.cos(2 * np.pi * t / (2 * period))
+        freqs, power = obs.calculate_fourier_spectrum(t, sig, period)
+        freqs, power = np.asarray(freqs), np.asarray(power)
+        assert abs(freqs[np.argmax(power)] - 0.5) < 0.05
+
+    def test_period_doubling_detector(self):
+        alternating = [1.0, 0.1] * 20
+        rand = list(np.random.default_rng(0).uniform(0, 1, 40))
+        assert float(obs.detect_period_doubling_from_loschmidt(alternating)) > 0.5
+        assert float(obs.detect_period_doubling_from_loschmidt(alternating)) > \
+            float(obs.detect_period_doubling_from_loschmidt(rand))

@@ -1,0 +1,238 @@
+"""Model + dynamics tests: kicked-Ising Floquet evolution.
+
+Mirrors the reference's model tier (tests/test_basic_functionality.py:120-180)
+and adds the numerics-parity tier SURVEY.md section 4 calls for: exact
+dense-statevector cross-checks of <sigma_z(t)> and the Loschmidt echo at the
+1e-8 level (truncation-free regime), which the reference never had.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.exact_reference import evolve_exact, neel_indices
+
+from timecrystal_tpu.core import mps as M
+from timecrystal_tpu.core import observables as obs
+from timecrystal_tpu.core.truncate import TruncParams
+from timecrystal_tpu.dynamics.tebd import CustomFloquet
+from timecrystal_tpu.models.kicked_ising import (KickedIsingModel,
+                                                 draw_disorder_reference)
+
+DTYPE = jnp.float64
+
+from timecrystal_tpu.ops import cpx  # noqa: E402
+TP = TruncParams.reference_hot_path()
+
+
+class TestModelInit:
+    def test_disorder_bounds_and_rng_parity(self):
+        m = KickedIsingModel(10, J=1.0, h_disorder=0.3, tau=1.0, disorder_seed=42)
+        assert np.all(np.abs(m.h_fields) <= 0.3)
+        # exact reference RNG stream (quirk 5): legacy MT19937
+        np.random.seed(42)
+        expected = np.random.uniform(-0.3, 0.3, 10)
+        np.testing.assert_array_equal(m.h_fields, expected)
+
+    def test_gate_count(self):
+        m = KickedIsingModel(8, 1.0, 0.2, 1.0, disorder_seed=1)
+        assert m.gates.bond_gates.shape[0] == 7  # L - 1 bonds
+
+    def test_bad_bc_raises(self):
+        with pytest.raises(ValueError):
+            KickedIsingModel(8, 1.0, 0.2, 1.0, bc="twisted")
+
+    def test_gates_match_expm(self):
+        """Analytic diagonal phases == scipy expm of the bond Hamiltonian."""
+        import scipy.linalg
+        from timecrystal_tpu.core import gates as G
+        m = KickedIsingModel(6, 1.0, 0.3, 0.7, disorder_seed=3, dtype=DTYPE)
+        for b in range(5):
+            H = G.two_site_hamiltonian(1.0, m.h_fields[b], m.h_fields[b + 1])
+            U = scipy.linalg.expm(-1j * 0.7 / 2 * H)
+            g = cpx.to_numpy(m.gates.bond_gates[b]).reshape(4, 4)
+            np.testing.assert_allclose(g, U, atol=1e-12)
+
+
+class TestFloquetStep:
+    def test_norm_preserved_single_step(self):
+        m = KickedIsingModel(8, 1.0, 0.3, 1.0, disorder_seed=42, dtype=DTYPE)
+        psi = M.create_initial_state(8, "neel", chi=32, dtype=DTYPE)
+        psi = m.floquet_step(psi, TP)
+        assert abs(float(M.norm_squared(psi)) - 1.0) < 1e-10
+
+    def test_norm_preserved_20_steps(self):
+        m = KickedIsingModel(8, 1.0, 0.3, 1.0, disorder_seed=42, dtype=DTYPE)
+        psi = M.create_initial_state(8, "neel", chi=32, dtype=DTYPE)
+        for _ in range(20):
+            psi = m.floquet_step(psi, TP)
+        assert abs(float(M.norm_squared(psi)) - 1.0) < 1e-8
+
+    def test_times_grid(self):
+        m = KickedIsingModel(6, 1.0, 0.2, 0.5, disorder_seed=1, dtype=DTYPE)
+        psi = M.create_initial_state(6, "neel", chi=16, dtype=DTYPE)
+        states, times = m.evolve(psi, 3, TP)
+        np.testing.assert_allclose(times, [0.0, 1.0, 2.0, 3.0])
+        assert len(states) == 4
+
+
+class TestExactParity:
+    """MPS evolution vs dense statevector with identical gate semantics."""
+
+    @pytest.mark.parametrize("h,tau,seed", [(0.25, 1.0, 42), (0.6, 0.8, 7), (0.0, 2.0, 0)])
+    def test_sz_and_le_match_exact(self, h, tau, seed):
+        L, n_periods = 8, 12
+        hf = draw_disorder_reference(L, h, seed)
+        m = KickedIsingModel(L, 1.0, h, tau, h_fields=hf, chi=32, dtype=DTYPE)
+        psi0 = M.create_initial_state(L, "neel", chi=32, dtype=DTYPE)
+        flo = CustomFloquet(m, TP)
+        traces, times, info = flo.evolve_floquet_traces(psi0, n_periods)
+
+        sz_exact, le_exact = evolve_exact(L, 1.0, hf, tau, n_periods)
+        np.testing.assert_allclose(traces["sz_sites"], sz_exact, atol=1e-9)
+        np.testing.assert_allclose(traces["loschmidt_echo"], le_exact, atol=1e-9)
+
+    @pytest.mark.parametrize("theta_frac", [0.9, 0.97])
+    def test_entangling_regime_parity(self, theta_frac):
+        """Imperfect pulse (theta != pi): genuinely interacting dynamics with
+        growing chi -- validates the theta/SVD/truncation machinery, not just
+        product-state bookkeeping."""
+        L, n_periods = 8, 10
+        theta = theta_frac * np.pi
+        hf = draw_disorder_reference(L, 0.3, 11)
+        m = KickedIsingModel(L, 1.0, 0.3, 1.2, h_fields=hf, theta=theta,
+                             chi=64, dtype=DTYPE)
+        psi0 = M.create_initial_state(L, "neel", chi=64, dtype=DTYPE)
+        traces, _, _ = CustomFloquet(m, TP).evolve_floquet_traces(psi0, n_periods)
+        sz_exact, le_exact = evolve_exact(L, 1.0, hf, 1.2, n_periods, theta=theta)
+        np.testing.assert_allclose(traces["sz_sites"], sz_exact, atol=1e-8)
+        np.testing.assert_allclose(traces["loschmidt_echo"], le_exact, atol=1e-8)
+        assert np.asarray(traces["max_chi"])[-1] > 2  # chi actually grew
+
+    def test_statevector_match_after_period(self):
+        """Full state fidelity |<exact|mps>| = 1 after several periods."""
+        from tests.exact_reference import floquet_unitary, product_statevector
+        L, tau = 6, 1.0
+        hf = draw_disorder_reference(L, 0.3, 42)
+        m = KickedIsingModel(L, 1.0, 0.3, tau, h_fields=hf, dtype=DTYPE)
+        psi = M.create_initial_state(L, "neel", chi=16, dtype=DTYPE)
+        U = floquet_unitary(L, 1.0, hf, tau)
+        vec = product_statevector(neel_indices(L))
+        for _ in range(5):
+            psi = m.floquet_step(psi, TP)
+            vec = U @ vec
+        v_mps = np.asarray(M.to_statevector(psi))
+        assert abs(abs(np.vdot(vec, v_mps)) - 1.0) < 1e-9
+
+
+class TestDTCPhysics:
+    """Physics regression tier (reference tests/test_physics_validation.py)."""
+
+    def test_period_doubling_in_dtc_regime(self):
+        """Clean kicked Ising at the DTC point: staggered magnetization flips
+        sign every period (period-2T oscillation)."""
+        L = 10
+        m = KickedIsingModel(L, 1.0, 0.1, 1.0, disorder_seed=42, chi=32, dtype=DTYPE)
+        psi0 = M.create_initial_state(L, "neel", chi=32, dtype=DTYPE)
+        traces, times, _ = CustomFloquet(m, TP).evolve_floquet_traces(psi0, 20)
+        stag = traces["staggered_magnetization"]
+        # alternating sign: s(0) > 0, s(1) < 0, s(2) > 0 ...
+        signs = np.sign(stag)
+        expected = np.array([(-1.0) ** k for k in range(21)])
+        assert np.mean(signs == expected) > 0.9
+
+    def test_subharmonic_amplitude_dtc_vs_trivial(self):
+        L = 8
+        m = KickedIsingModel(L, 1.0, 0.2, 1.0, disorder_seed=42, chi=32, dtype=DTYPE)
+        psi0 = M.create_initial_state(L, "neel", chi=32, dtype=DTYPE)
+        traces, times, _ = CustomFloquet(m, TP).evolve_floquet_traces(psi0, 40)
+        period = 2 * m.tau
+        amp = float(obs.extract_subharmonic_amplitude(
+            np.asarray(times), traces["staggered_magnetization"], period))
+        assert amp > 0.5  # strong DTC signature
+
+    def test_exact_pi_pulse_keeps_product_state(self):
+        """With theta = pi exactly and purely longitudinal fields, z-product
+        states stay product states (all gates diagonal or spin flips): the
+        DTC is 'classical' and chi stays 1.  This is a real property of the
+        reference model and explains its phase-diagram chi ~ 1 penalty
+        behavior (main.py:379-383)."""
+        L = 10
+        m = KickedIsingModel(L, 1.0, 0.3, 1.0, disorder_seed=42, chi=64, dtype=DTYPE)
+        psi0 = M.create_initial_state(L, "neel", chi=64, dtype=DTYPE)
+        traces, _, _ = CustomFloquet(m, TP).evolve_floquet_traces(psi0, 10)
+        mid = L // 2
+        assert abs(traces["entropies"][-1][mid]) < 1e-10
+        assert np.all(np.asarray(traces["max_chi"]) == 1)
+
+    def test_entanglement_grows_with_imperfect_pulse(self):
+        """theta != pi makes the Floquet operator genuinely interacting and
+        entanglement grows from zero -- the regime where MPS truncation
+        actually matters."""
+        L = 10
+        m = KickedIsingModel(L, 1.0, 0.3, 1.0, disorder_seed=42, chi=64,
+                             theta=0.9 * np.pi, dtype=DTYPE)
+        psi0 = M.create_initial_state(L, "neel", chi=64, dtype=DTYPE)
+        traces, _, _ = CustomFloquet(m, TP).evolve_floquet_traces(psi0, 10)
+        mid = L // 2
+        assert traces["entropies"][0][mid] < 1e-10
+        assert traces["entropies"][-1][mid] > 1e-3
+        assert traces["max_chi"][-1] > 1
+
+    def test_initial_state_dependence(self):
+        L = 8
+        m = KickedIsingModel(L, 1.0, 0.2, 1.0, disorder_seed=42, chi=32, dtype=DTYPE)
+        up = M.create_initial_state(L, "all_up", chi=32, dtype=DTYPE)
+        ne = M.create_initial_state(L, "neel", chi=32, dtype=DTYPE)
+        t_up, _, _ = CustomFloquet(m, TP).evolve_floquet_traces(up, 10)
+        t_ne, _, _ = CustomFloquet(m, TP).evolve_floquet_traces(ne, 10)
+        assert not np.allclose(t_up["magnetization"], t_ne["magnetization"])
+
+    def test_physical_bounds(self):
+        L = 8
+        m = KickedIsingModel(L, 1.0, 0.5, 1.5, disorder_seed=9, chi=32, dtype=DTYPE)
+        psi0 = M.create_initial_state(L, "neel", chi=32, dtype=DTYPE)
+        traces, _, _ = CustomFloquet(m, TP).evolve_floquet_traces(psi0, 20)
+        assert np.all(np.abs(traces["magnetization"]) <= L + 1e-9)
+        assert np.all((traces["loschmidt_echo"] >= -1e-12)
+                      & (traces["loschmidt_echo"] <= 1 + 1e-9))
+        assert np.all(np.abs(traces["sz_sites"]) <= 1 + 1e-9)
+
+
+class TestCustomFloquetContract:
+    def test_info_keys_and_shapes(self):
+        L = 6
+        m = KickedIsingModel(L, 1.0, 0.2, 1.0, disorder_seed=1, chi=16, dtype=DTYPE)
+        psi0 = M.create_initial_state(L, "neel", chi=16, dtype=DTYPE)
+        states, times, info = CustomFloquet(m, TP).evolve_floquet(psi0, 5)
+        assert len(states) == 6 and len(times) == 6
+        for k in ("wall_time", "bond_dimensions", "periods_per_second",
+                  "final_bond_dim", "n_periods"):
+            assert k in info
+        assert info["n_periods"] == 5
+        np.testing.assert_allclose(times, [0, 2, 4, 6, 8, 10])
+        # states are usable MPS objects
+        assert abs(float(M.norm_squared(states[-1])) - 1.0) < 1e-9
+
+    def test_measure_every(self):
+        L = 6
+        m = KickedIsingModel(L, 1.0, 0.2, 1.0, disorder_seed=1, chi=16, dtype=DTYPE)
+        psi0 = M.create_initial_state(L, "neel", chi=16, dtype=DTYPE)
+        traces, times, _ = CustomFloquet(m, TP).evolve_floquet_traces(
+            psi0, 10, measure_every=2)
+        assert len(times) == 6  # t=0 plus periods 1,3,5,7,9
+        assert traces["loschmidt_echo"].shape[0] == 6
+
+
+class TestTruncationPath:
+    def test_chi_capped_evolution_stays_normalized(self):
+        """With a tight chi_max the state renormalizes and stays physical."""
+        L = 10
+        tp = TruncParams(chi_max=8, svd_min=1e-12, trunc_cut=1e-10)
+        m = KickedIsingModel(L, 1.0, 0.3, 1.5, disorder_seed=5, chi=16, dtype=DTYPE)
+        psi0 = M.create_initial_state(L, "neel", chi=16, dtype=DTYPE)
+        traces, _, info = CustomFloquet(m, tp).evolve_floquet_traces(psi0, 15)
+        assert np.all(np.asarray(traces["max_chi"]) <= 8)
+        assert np.all(np.abs(traces["sz_sites"]) <= 1 + 1e-6)
+        # truncation error is recorded and nonzero once chi saturates
+        assert np.sum(traces["trunc_err"]) >= 0.0

@@ -1,0 +1,220 @@
+"""Observables for quantum many-body states.
+
+Pure-function ports of the reference's observable semantics
+(src/core/observables.py) redesigned for TPU:
+  * per-site expectations are ONE batched contraction over all sites (the
+    reference rebuilds a TeNPy operator tensor per site per call,
+    observables.py:50-58 -- quadratic-ish in practice, SURVEY.md 3.2),
+  * the Loschmidt echo is a jit ``lax.scan`` transfer contraction,
+  * complex arithmetic is real-pair math (ops/cpx.py; no complex dtypes on
+    the TPU backend).
+
+The spectral toolkit (FFT post-processing of observable *traces*) runs
+host-side in NumPy: traces are tiny (O(n_periods) scalars) and the division
+of labor -- evolution on device, detection on host -- avoids shipping
+complex FFT outputs through a backend without complex support.
+
+Conventions preserved exactly: Pauli (+-1) magnetizations (not S=1/2),
+staggered magnetization normalized by 1/L (observables.py:369).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import cpx
+from ..ops.cpx import C
+from . import gates as G
+from .mps import MPS, entanglement_entropy, entanglement_spectrum  # noqa: F401 (re-export)
+from .mps import expectation_one_site, overlap
+
+
+def calculate_loschmidt_echo(psi_initial: MPS, psi_evolved: MPS) -> jax.Array:
+    """L(t) = |<psi0|psi(t)>|^2  (reference observables.py:11-26)."""
+    return cpx.abs2(overlap(psi_initial, psi_evolved))
+
+
+def sz_sites(psi: MPS) -> jax.Array:
+    """<sigma_z_i> for every site, [L] real -- the workhorse observable."""
+    return expectation_one_site(psi, G.pauli_c("z", psi.dtype)).re
+
+
+def magnetization(psi: MPS, direction: str = "z", site: int | None = None):
+    """Magnetization along x/y/z; total over sites or a single site.
+
+    Reference observables.py:29-71 -- values are Pauli expectations in
+    [-1, 1] per site; 'total' sums them (range [-L, L])."""
+    vals = expectation_one_site(psi, G.pauli_c(direction, psi.dtype)).re
+    if site is not None:
+        return vals[site]
+    return jnp.sum(vals)
+
+
+def calculate_magnetization(psi: MPS, direction: str = "z"):
+    """Alias (reference observables.py:224-235)."""
+    return magnetization(psi, direction)
+
+
+def staggered_signs(L: int, dtype=jnp.float32) -> jax.Array:
+    return jnp.asarray(np.where(np.arange(L) % 2 == 0, 1.0, -1.0), dtype=dtype)
+
+
+def staggered_magnetization(psi: MPS) -> jax.Array:
+    """M_s = (1/L) sum_i (-1)^i <sigma_i^z>  (reference observables.py:350-369)."""
+    vals = sz_sites(psi)
+    L = vals.shape[0]
+    return jnp.sum(staggered_signs(L, vals.dtype) * vals) / L
+
+
+def correlation_function(psi: MPS, op1: str, op2: str, i: int, j: int) -> C:
+    """Two-point correlator <sigma_i^op1 sigma_j^op2> (observables.py:74-121).
+
+    Same-site case multiplies the operators; distinct sites contract the
+    transfer matrix between i and j with the B-form environments.  Returns
+    a C scalar.
+    """
+    o1 = G.pauli_c(op1, psi.dtype)
+    o2 = G.pauli_c(op2, psi.dtype)
+    if i == j:
+        return expectation_one_site(psi, cpx.matmul(o1, o2))[i]
+    if i > j:
+        i, j, o1, o2 = j, i, o2, o1
+    w = psi.lam[i] ** 2  # left environment at site i
+    Bi = psi.B[i]
+    T = cpx.einsum("pq,aqc->apc", o1, Bi)
+    E = cpx.einsum("apb,apc->bc", Bi.conj(), T * w[:, None, None])
+    for k in range(i + 1, j):  # static unroll; shapes fixed
+        Bk = psi.B[k]
+        T = cpx.einsum("ab,bpc->apc", E, Bk)
+        E = cpx.einsum("apb,apc->bc", Bk.conj(), T)
+    Bj = psi.B[j]
+    T = cpx.einsum("pq,bqc->bpc", o2, Bj)
+    T = cpx.einsum("ab,bpc->apc", E, T)
+    return cpx.einsum("apc,apc->", Bj.conj(), T)
+
+
+def order_parameter(psi: MPS, sublattice_a, sublattice_b) -> jax.Array:
+    """|<S_A> - <S_B>| over z-magnetization sublattice means
+    (reference observables.py:280-296)."""
+    vals = sz_sites(psi)
+    a = jnp.mean(vals[jnp.asarray(sublattice_a)])
+    b = jnp.mean(vals[jnp.asarray(sublattice_b)])
+    return jnp.abs(a - b)
+
+
+def participation_ratio(psi: MPS) -> jax.Array:
+    """Participation ratio over local densities (observables.py:299-347).
+
+    The reference sums prob_up + prob_down per site (identically 1 for a
+    normalized state); semantics preserved."""
+    up = cpx.from_numpy(np.array([[1, 0], [0, 0]]), psi.dtype)
+    dn = cpx.from_numpy(np.array([[0, 0], [0, 1]]), psi.dtype)
+    dens = expectation_one_site(psi, up).re + expectation_one_site(psi, dn).re
+    num = jnp.sum(dens) ** 2
+    den = jnp.sum(dens**2)
+    return jnp.where(den > 0, num / den, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Spectral toolkit (4 variants, SURVEY.md component 4) -- host-side NumPy
+# ---------------------------------------------------------------------------
+
+def fidelity_decay(loschmidt_echoes, times) -> float:
+    """Coherence time T2 from a linear fit of log L(t)
+    (reference observables.py:254-277)."""
+    le = np.asarray(loschmidt_echoes, dtype=float)
+    t = np.asarray(times, dtype=float)
+    logf = np.log(np.maximum(le, 1e-10))
+    coeffs = np.polyfit(t, logf, 1)
+    decay_rate = -coeffs[0]
+    return float(1.0 / decay_rate) if decay_rate > 0 else np.inf
+
+
+def subharmonic_response(magnetization_data, drive_period):
+    """(fundamental_amplitude, subharmonic_amplitude) from a raw FFT
+    (reference observables.py:124-150; no window, raw bins, unit-spacing
+    fftfreq -- semantics preserved exactly)."""
+    m = np.asarray(magnetization_data, dtype=float)
+    fft_data = np.fft.fft(m)
+    freqs = np.fft.fftfreq(len(m))
+    fundamental_freq = 1.0 / drive_period
+    subharmonic_freq = fundamental_freq / 2.0
+    fund_idx = int(np.argmin(np.abs(freqs - fundamental_freq)))
+    sub_idx = int(np.argmin(np.abs(freqs - subharmonic_freq)))
+    return abs(fft_data[fund_idx]), abs(fft_data[sub_idx])
+
+
+def _windowed_fft(series: np.ndarray, dt: float):
+    """DC removal -> Hann window -> FFT -> positive-frequency half
+    (the reference's recipe, observables.py:184-198)."""
+    centered = series - np.mean(series)
+    window = np.hanning(len(centered))
+    fft_result = np.fft.fft(centered * window)
+    freqs = np.fft.fftfreq(len(centered), d=dt)
+    pos = freqs > 0
+    return freqs[pos], fft_result[pos]
+
+
+def extract_subharmonic_amplitude(times, magnetizations, period) -> float:
+    """Normalized subharmonic amplitude A2T (reference observables.py:153-221)."""
+    t = np.asarray(times, dtype=float)
+    m = np.asarray(magnetizations, dtype=float)
+    if len(t) < 10 or len(m) < 10:
+        return 0.0
+    valid = np.isfinite(m) & np.isfinite(t)
+    if np.sum(valid) < 10:
+        return 0.0
+    t, m = t[valid], m[valid]
+    dt = float(np.mean(np.diff(t)))
+    if dt <= 0:
+        return 0.0
+    freqs_pos, fft_pos = _windowed_fft(m, dt)
+    if len(freqs_pos) == 0:
+        return 0.0
+    subharmonic_freq = (1.0 / period) / 2.0
+    sub_idx = int(np.argmin(np.abs(freqs_pos - subharmonic_freq)))
+    amp = np.abs(fft_pos[sub_idx])
+    max_amp = np.max(np.abs(fft_pos))
+    return float(amp / max_amp) if max_amp > 1e-12 else 0.0
+
+
+def extract_subharmonic_amplitude_from_loschmidt(times, loschmidt_echoes, period) -> float:
+    """Same recipe applied to the Loschmidt echo (observables.py:372-439)."""
+    return extract_subharmonic_amplitude(times, loschmidt_echoes, period)
+
+
+def detect_period_doubling_from_loschmidt(loschmidt_echoes, tolerance: float = 0.1) -> float:
+    """Alternating-pattern strength of the LE series (observables.py:442-488)."""
+    le = np.asarray(loschmidt_echoes, dtype=float)
+    if len(le) < 4:
+        return 0.0
+    even, odd = le[0::2], le[1::2]
+    if len(even) < 2 or len(odd) < 2:
+        return 0.0
+    even_std, odd_std = np.std(even), np.std(odd)
+    even_mean, odd_mean = np.mean(even), np.mean(odd)
+    separation = abs(even_mean - odd_mean)
+    max_sep = max(even_mean, odd_mean)
+    if max_sep <= 0:
+        return 0.0
+    strength = separation / max_sep
+    consistency_penalty = min(even_std, odd_std) / (separation + 1e-10)
+    strength *= np.exp(-consistency_penalty)
+    return float(min(strength, 1.0))
+
+
+def calculate_fourier_spectrum(times, data, drive_period):
+    """Normalized power spectrum vs omega/omega_drive (reference main.py:571-618).
+
+    Returns (freqs_normalized, power_normalized) over positive frequencies.
+    """
+    t = np.asarray(times, dtype=float)
+    x = np.asarray(data, dtype=float)
+    dt = float(np.mean(np.diff(t)))
+    freqs_pos, fft_pos = _windowed_fft(x, dt)
+    power = np.abs(fft_pos) ** 2
+    drive_freq = 1.0 / drive_period
+    pmax = np.max(power) if len(power) else 0.0
+    return freqs_pos / drive_freq, (power / pmax if pmax > 0 else power)

@@ -1,0 +1,319 @@
+"""Floquet and Suzuki-Trotter TEBD evolution, TPU-native.
+
+Replaces reference src/dynamics/tebd_evolution.py (CustomFloquet +
+TEBDEvolution).  The key structural inversion (SURVEY.md section 7):
+
+  * reference: Python loop over periods, one TeNPy gate-apply + MPS copy per
+    bond, full MPS copy stored per period (tebd_evolution.py:239-247);
+  * here: ONE jit-compiled ``lax.scan`` over periods, batched bond updates,
+    observables computed in-scan so no state history is materialized.
+
+The info-dict contract of the reference (wall_time, bond_dimensions,
+periods_per_second, final_bond_dim, n_periods; tebd_evolution.py:251-257) is
+preserved.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import gates as G
+from ..core.mps import (MPS, apply_one_site_gates, bond_dimensions,
+                        entanglement_entropy, expectation_one_site, overlap)
+from ..core.truncate import TruncParams, apply_bond_gates
+from ..models.kicked_ising import FloquetGates, floquet_period
+from ..ops import cpx
+from ..ops.cpx import C
+
+
+@partial(jax.jit, static_argnames=("n_periods", "tp", "with_states"))
+def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
+                        tp: TruncParams, with_states: bool = False):
+    """Scan U_F^n with in-scan observables.
+
+    Returns (final MPS, traces) where traces hold per-period arrays
+    *excluding* the initial state (prepended host-side): sz_sites
+    [n, L], loschmidt_echo [n], entropies [n, L+1], max_chi [n],
+    trunc_err [n], and optionally the full state history.
+    """
+    sz_op = G.pauli_c("z", psi0.dtype)
+
+    def period_fn(psi, _):
+        psi, err = floquet_period(psi, gates, tp)
+        sz = expectation_one_site(psi, sz_op).re
+        le = cpx.abs2(overlap(psi0, psi))
+        ent = entanglement_entropy(psi)
+        chi_eff = bond_dimensions(psi)
+        out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
+                   max_chi=jnp.max(chi_eff[1:-1], initial=1), trunc_err=err)
+        if with_states:
+            out["states"] = psi
+        return psi, out
+
+    psi_final, traces = jax.lax.scan(period_fn, psi0, None, length=n_periods)
+    return psi_final, traces
+
+
+def _initial_observables(psi0: MPS) -> dict:
+    sz_op = G.pauli_c("z", psi0.dtype)
+    return dict(
+        sz_sites=expectation_one_site(psi0, sz_op).re,
+        loschmidt_echo=cpx.abs2(overlap(psi0, psi0)),
+        entropies=entanglement_entropy(psi0),
+        max_chi=jnp.max(bond_dimensions(psi0)[1:-1], initial=1),
+        trunc_err=jnp.zeros((), dtype=psi0.lam.dtype),
+    )
+
+
+class CustomFloquet:
+    """Custom Floquet evolution for the kicked-Ising model.
+
+    API parity with reference tebd_evolution.py:191-258; the heavy path is a
+    single fused device program.
+    """
+
+    def __init__(self, kicked_ising_model, trunc_params: dict | TruncParams | None = None):
+        self.model = kicked_ising_model
+        if isinstance(trunc_params, TruncParams):
+            self.trunc_params = trunc_params
+        elif trunc_params is None:
+            self.trunc_params = TruncParams(chi_max=100, svd_min=1e-12, trunc_cut=1e-10)
+        else:
+            self.trunc_params = TruncParams.from_dict(trunc_params)
+
+    def evolve_floquet_traces(self, psi_initial: MPS, n_periods: int,
+                              measure_every: int = 1) -> Tuple[Dict, List[float], Dict]:
+        """Fused path: observable traces without materializing states.
+
+        Returns (traces, times, info).  traces arrays have length
+        n_stored + 1 (initial state included, as the reference's states list
+        does, tebd_evolution.py:231).
+        """
+        start = time.time()
+        psi_final, tr = evolve_floquet_scan(psi_initial, self.model.gates,
+                                            n_periods, self.trunc_params)
+        jax.block_until_ready(tr["loschmidt_echo"])
+        wall_time = time.time() - start
+
+        init = _initial_observables(psi_initial)
+        sel = np.arange(0, n_periods, measure_every)
+        traces = {}
+        for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi", "trunc_err"):
+            full = np.asarray(tr[k])[sel]
+            traces[k] = np.concatenate([np.asarray(init[k])[None], full], axis=0)
+        traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
+        L = psi_initial.L
+        signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
+        traces["staggered_magnetization"] = (traces["sz_sites"] * signs).sum(axis=-1) / L
+
+        times = [0.0] + [(int(p) + 1) * 2 * self.model.tau for p in sel]
+        bond_dims = [int(x) for x in traces["max_chi"]]
+        info = {
+            "wall_time": wall_time,
+            "bond_dimensions": bond_dims,
+            "periods_per_second": n_periods / wall_time if wall_time > 0 else float("inf"),
+            "final_bond_dim": bond_dims[-1],
+            "n_periods": n_periods,
+            "truncation_errors": traces["trunc_err"].tolist(),
+        }
+        return traces, times, info
+
+    def evolve_floquet(self, psi_initial: MPS, n_periods: int,
+                       measure_every: int = 1) -> Tuple[List[MPS], List[float], Dict]:
+        """Reference-contract path returning the state history
+        (tebd_evolution.py:218-258).  Memory scales with n_periods; prefer
+        ``evolve_floquet_traces`` for long runs."""
+        start = time.time()
+        psi_final, tr = evolve_floquet_scan(psi_initial, self.model.gates,
+                                            n_periods, self.trunc_params,
+                                            with_states=True)
+        jax.block_until_ready(psi_final.B.re)
+        wall_time = time.time() - start
+
+        stacked: MPS = tr["states"]
+        states = [psi_initial]
+        times = [0.0]
+        bond_dims = [int(np.max(np.asarray(bond_dimensions(psi_initial))[1:-1], initial=1))]
+        max_chi = np.asarray(tr["max_chi"])
+        for p in range(0, n_periods, measure_every):
+            states.append(MPS(B=stacked.B[p], lam=stacked.lam[p]))
+            times.append((p + 1) * 2 * self.model.tau)
+            bond_dims.append(int(max_chi[p]))
+
+        info = {
+            "wall_time": wall_time,
+            "bond_dimensions": bond_dims,
+            "periods_per_second": n_periods / wall_time if wall_time > 0 else float("inf"),
+            "final_bond_dim": bond_dims[-1],
+            "n_periods": n_periods,
+        }
+        return states, times, info
+
+
+# ---------------------------------------------------------------------------
+# Generic nearest-neighbor Suzuki-Trotter TEBD (reference TEBDEvolution)
+# ---------------------------------------------------------------------------
+
+class NearestNeighborModel:
+    """A chain Hamiltonian H = sum_b H_b with H_b acting on sites (b, b+1).
+
+    The TPU analog of a TeNPy ``NearestNeighborModel``: just the dense bond
+    Hamiltonians [L-1, d*d, d*d] (onsite terms already absorbed into bonds).
+    """
+
+    def __init__(self, bond_H: np.ndarray, d: int = 2):
+        self.bond_H = np.asarray(bond_H)
+        self.d = d
+        self.L = self.bond_H.shape[0] + 1
+
+    def trotter_gates(self, dt: float, dtype=jnp.float32) -> C:
+        """exp(-i dt H_b) for every bond, C[L-1, d, d, d, d]."""
+        g = np.stack([G.expm_two_site(H, dt) for H in self.bond_H])
+        d = self.d
+        return G.gate_from_numpy(g.reshape(-1, d, d, d, d), dtype=dtype)
+
+
+def spin_chain_model(L: int, Jx=0.0, Jy=0.0, Jz=1.0, hx=0.0, hz=0.0,
+                     hz_fields: np.ndarray | None = None) -> NearestNeighborModel:
+    """Spin-1/2 chain H = sum Jx SxSx + Jy SySy + Jz SzSz + hx Sx + hz Sz.
+
+    TPU equivalent of the TeNPy ``SpinChain`` the pyc-only TDVP module builds
+    (SURVEY.md component 13, _create_tenpy_model).  S = sigma/2.  Onsite
+    terms are split half/half onto adjacent bonds; edge sites put their full
+    weight on their only bond.
+    """
+    Sx, Sy, Sz = G.SIGMA_X / 2, G.SIGMA_Y / 2, G.SIGMA_Z / 2
+    I = np.eye(2, dtype=complex)
+    hzv = np.full(L, hz, dtype=float) if hz_fields is None else np.asarray(hz_fields)
+    bonds = []
+    for b in range(L - 1):
+        H = (Jx * np.kron(Sx, Sx) + Jy * np.kron(Sy, Sy) + Jz * np.kron(Sz, Sz))
+        wl = 1.0 if b == 0 else 0.5
+        wr = 1.0 if b == L - 2 else 0.5
+        H += wl * (hx * np.kron(Sx, I) + hzv[b] * np.kron(Sz, I))
+        H += wr * (hx * np.kron(I, Sx) + hzv[b + 1] * np.kron(I, Sz))
+        bonds.append(H)
+    return NearestNeighborModel(np.stack(bonds))
+
+
+@partial(jax.jit, static_argnames=("n_steps", "tp"))
+def trotter2_scan(psi0: MPS, gates_half: C, gates_full: C,
+                  n_steps: int, tp: TruncParams):
+    """Second-order Suzuki-Trotter: even(dt/2) odd(dt) even(dt/2) per step,
+    with in-scan entropy/chi/truncation tracking (reference
+    tebd_evolution.py:67-95 uses TeNPy's order-2 TEBDEngine)."""
+
+    def step_fn(psi, _):
+        psi, e1 = apply_bond_gates(psi, gates_half, start=0, tp=tp)
+        psi, e2 = apply_bond_gates(psi, gates_full, start=1, tp=tp)
+        psi, e3 = apply_bond_gates(psi, gates_half, start=0, tp=tp)
+        ent = entanglement_entropy(psi)
+        chi_eff = jnp.max(bond_dimensions(psi)[1:-1], initial=1)
+        return psi, dict(entropies=ent, max_chi=chi_eff, trunc_err=e1 + e2 + e3)
+
+    return jax.lax.scan(step_fn, psi0, None, length=n_steps)
+
+
+class TEBDEvolution:
+    """TEBD evolution wrapper (API parity: reference tebd_evolution.py:18-188).
+
+    ``model`` is either a NearestNeighborModel (generic Trotter path) or a
+    KickedIsingModel (for ``evolve_floquet_period``).
+    """
+
+    def __init__(self, model, dt: float = 0.1, max_chi: int = 100,
+                 trunc_params: dict | TruncParams | None = None):
+        self.model = model
+        self.dt = dt
+        self.max_chi = max_chi
+        if isinstance(trunc_params, TruncParams):
+            self.trunc_params = trunc_params
+        elif trunc_params is None:
+            self.trunc_params = TruncParams(chi_max=max_chi, svd_min=1e-12, trunc_cut=1e-10)
+        else:
+            d = dict(trunc_params)
+            d.setdefault("chi_max", max_chi)
+            self.trunc_params = TruncParams.from_dict(d)
+
+    def evolve(self, psi_initial: MPS, total_time: float,
+               observe_every: int = 1) -> Tuple[List[MPS], List[float], Dict]:
+        """Order-2 Trotter evolution returning (states, times, info);
+        info keys follow reference tebd_evolution.py:99-106."""
+        n_steps = int(total_time / self.dt)
+        gates_half = self.model.trotter_gates(self.dt / 2, dtype=psi_initial.dtype)
+        gates_full = self.model.trotter_gates(self.dt, dtype=psi_initial.dtype)
+
+        start = time.time()
+        # states contract requires history: step in python, jit inner step
+        states = [psi_initial]
+        times = [0.0]
+        bond_dims = [np.asarray(bond_dimensions(psi_initial))]
+        entropies = [np.asarray(entanglement_entropy(psi_initial))]
+        trunc_errs = []
+        psi = psi_initial
+        for step in range(n_steps):
+            psi, tr = trotter2_scan(psi, gates_half, gates_full, 1, self.trunc_params)
+            if step % observe_every == 0:
+                states.append(psi)
+                times.append((step + 1) * self.dt)
+                bond_dims.append(np.asarray(bond_dimensions(psi)))
+                entropies.append(np.asarray(tr["entropies"])[0])
+            trunc_errs.append(float(tr["trunc_err"][0]))
+        wall_time = time.time() - start
+
+        info = {
+            "wall_time": wall_time,
+            "bond_dimensions": bond_dims,
+            "entanglement_entropies": entropies,
+            "truncation_errors": float(np.sum(trunc_errs)),
+            "final_bond_dim": np.asarray(bond_dimensions(psi)),
+            "n_steps": n_steps,
+        }
+        return states, times, info
+
+    def evolve_traces(self, psi_initial: MPS, total_time: float) -> Tuple[Dict, Dict]:
+        """Fused fast path: full scan on device, traces only."""
+        n_steps = int(total_time / self.dt)
+        gates_half = self.model.trotter_gates(self.dt / 2, dtype=psi_initial.dtype)
+        gates_full = self.model.trotter_gates(self.dt, dtype=psi_initial.dtype)
+        start = time.time()
+        psi, tr = trotter2_scan(psi_initial, gates_half, gates_full, n_steps,
+                                self.trunc_params)
+        jax.block_until_ready(psi.B.re)
+        wall_time = time.time() - start
+        info = {"wall_time": wall_time, "n_steps": n_steps,
+                "steps_per_second": n_steps / wall_time if wall_time > 0 else float("inf")}
+        return {k: np.asarray(v) for k, v in tr.items()}, info
+
+    def real_time_evolution(self, psi_initial: MPS, hamiltonian, total_time: float,
+                            observe_every: int = 1):
+        """Reference tebd_evolution.py:110-126 delegates to evolve; preserved."""
+        return self.evolve(psi_initial, total_time, observe_every)
+
+    def suzuki_trotter_gates(self, hamiltonian_terms: Dict, dt: float) -> List[np.ndarray]:
+        """Construct exp(-i dt H_term) gates (reference tebd_evolution.py:128-149)."""
+        return [G.expm_two_site(np.asarray(op), dt)
+                for name, op in hamiltonian_terms.items()
+                if name != "single_site_terms" and isinstance(op, np.ndarray)]
+
+    def benchmark_performance(self, psi_initial: MPS, n_steps: int = 100) -> Dict:
+        """Performance metrics (reference tebd_evolution.py:151-176)."""
+        total_time = n_steps * self.dt
+        tr, info = self.evolve_traces(psi_initial, total_time)
+        return {
+            "wall_time": info["wall_time"],
+            "steps_per_second": info["steps_per_second"],
+            "final_bond_dim": int(tr["max_chi"][-1]),
+            "memory_usage": float(np.sum(tr["max_chi"]) * 8 / 1024**2),
+            "truncation_error": float(tr["trunc_err"][-1]),
+        }
+
+    def evolve_floquet_period(self, psi: MPS) -> MPS:
+        """One Floquet period via the model (reference tebd_evolution.py:178-188)."""
+        return self.model.floquet_step(psi, self.trunc_params)

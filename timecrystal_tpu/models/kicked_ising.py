@@ -1,0 +1,209 @@
+"""Floquet kicked-Ising model, TPU-native.
+
+Implements the three-step Floquet unitary of the reference
+(src/models/kicked_ising.py:4-12, per PRL 117, 090402):
+
+    U_F = exp[-i tau/2 sum_j (J sz_j sz_{j+1} + h_j sz_j)]
+        x exp[-i pi/2 sum_j sx_j]
+        x exp[-i tau/2 sum_j (J sz_j sz_{j+1} + h_j sz_j)]
+
+Behavioral quirks of the reference that are replicated exactly for
+numerics parity (SURVEY.md section 3):
+  * quirk 2: each bond gate carries the full h_i and h_{i+1}, so interior
+    sites see an effective 2*h_i field per half-step (kicked_ising.py:83-85).
+  * quirk 3: even-index bonds first, then odd; the Ising sweep runs twice per
+    Floquet step, each with angle tau/2 (kicked_ising.py:117-147).
+  * quirk 4: the pi-pulse is exactly -i sigma_x per site (global phase
+    (-i)^L per period).
+  * quirk 5: disorder h_i ~ U[-h, h] from NumPy's legacy MT19937 stream when a
+    seed is given (np.random.seed(seed); np.random.uniform) -- host-side,
+    exactly as the reference (kicked_ising.py:55-59).  A scalable
+    ``jax.random`` path is provided for large vmapped ensembles.
+
+TPU-first differences (not a port): gates are analytic diagonal phases (no
+scipy expm), all bonds of a sweep update in one batched SVD kernel, and the
+period loop is a jit-compiled ``lax.scan`` (see dynamics/tebd.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import gates as G
+from ..core.mps import MPS, apply_one_site_gates, create_initial_state
+from ..core.truncate import TruncParams, apply_bond_gates
+from ..ops.cpx import C
+
+
+class FloquetGates(NamedTuple):
+    """Precomputed per-period gate set (pytree; vmap-able over disorder)."""
+
+    bond_gates: C  # C[L-1, d, d, d, d] Ising half-step gates
+    kick: C        # C[d, d] pi-pulse (or generalized X rotation)
+
+
+def make_floquet_gates(J, h_fields: jax.Array, tau, theta=np.pi,
+                       dtype=jnp.float32) -> FloquetGates:
+    """Build the analytic Floquet gate set from the disorder field vector.
+
+    Pure jnp function: safe to call inside jit/vmap (e.g. vmapped over a
+    batch of disorder realizations or a phase-diagram grid).
+    """
+    angles = G.ising_bond_phase_angles(J, h_fields, tau / 2.0)    # [L-1, 4]
+    bond_gates = G.phases_to_bond_gates(angles, dtype=dtype)      # C[L-1,2,2,2,2]
+    if theta == np.pi:
+        kick = G.pi_pulse_gate(dtype=dtype)
+    else:
+        kick = G.x_rotation_gate(theta, dtype=dtype)
+    return FloquetGates(bond_gates=bond_gates, kick=kick)
+
+
+@partial(jax.jit, static_argnames=("tp",))
+def floquet_period(psi: MPS, gates: FloquetGates, tp: TruncParams):
+    """One full Floquet period U_F applied to the MPS.
+
+    Sequence (reference kicked_ising.py:100-148): Ising half-step
+    (even bonds, then odd bonds), pi-pulse on every site, Ising half-step
+    again.  Returns (psi, truncation_error_sum).
+    """
+    psi, e1 = apply_bond_gates(psi, gates.bond_gates, start=0, tp=tp)
+    psi, e2 = apply_bond_gates(psi, gates.bond_gates, start=1, tp=tp)
+    psi = apply_one_site_gates(psi, gates.kick)
+    psi, e3 = apply_bond_gates(psi, gates.bond_gates, start=0, tp=tp)
+    psi, e4 = apply_bond_gates(psi, gates.bond_gates, start=1, tp=tp)
+    return psi, e1 + e2 + e3 + e4
+
+
+def draw_disorder_reference(n_sites: int, h_disorder: float,
+                            disorder_seed: int | None) -> np.ndarray:
+    """Disorder fields with exact reference RNG parity (quirk 5)."""
+    if disorder_seed is not None:
+        np.random.seed(disorder_seed)
+    return np.random.uniform(-h_disorder, h_disorder, n_sites)
+
+
+def draw_disorder_batch(key: jax.Array, n_realizations: int, n_sites: int,
+                        h_disorder: float) -> jax.Array:
+    """Scalable jax.random disorder batch [R, L] for vmapped ensembles."""
+    return jax.random.uniform(key, (n_realizations, n_sites),
+                              minval=-h_disorder, maxval=h_disorder)
+
+
+class KickedIsingModel:
+    """Floquet kicked-Ising model for discrete time crystal simulations.
+
+    API-parity with reference src/models/kicked_ising.py:25-303, backed by
+    the TPU-native MPS core.  The thin host-side class owns parameters and
+    the precomputed gate set; all heavy numerics are jitted device code.
+    """
+
+    def __init__(self, n_sites: int, J: float, h_disorder: float, tau: float,
+                 bc: str = "open", disorder_seed: int | None = None,
+                 h_fields: np.ndarray | None = None,
+                 theta: float = np.pi,
+                 chi: int = 64, dtype=jnp.float32):
+        if bc not in ("open", "periodic"):
+            raise ValueError(f"Unknown boundary condition: {bc}")
+        self.n_sites = int(n_sites)
+        self.J = float(J)
+        self.h_disorder = float(h_disorder)
+        self.tau = float(tau)
+        self.bc = bc
+        self.theta = float(theta)
+        self.chi = int(chi)
+        self.dtype = dtype
+
+        if h_fields is not None:
+            self.h_fields = np.asarray(h_fields, dtype=np.float64)
+        else:
+            self.h_fields = draw_disorder_reference(n_sites, h_disorder, disorder_seed)
+
+        self.gates = make_floquet_gates(self.J, jnp.asarray(self.h_fields),
+                                        self.tau, theta=self.theta, dtype=dtype)
+        if bc == "periodic":
+            # The reference's periodic path is broken (apply_local_op at site
+            # L-1 with a 2-site op walks off the chain); we implement it
+            # properly via a swap network (dynamics/tebd.py).  The boundary
+            # gate phases are precomputed here.
+            hb = jnp.asarray([self.h_fields[-1], self.h_fields[0]])
+            angles = G.ising_bond_phase_angles(self.J, hb, self.tau / 2.0)
+            self.boundary_gate = G.phases_to_bond_gates(angles, dtype=dtype)[0]
+        else:
+            self.boundary_gate = None
+
+    # -- reference-parity surface ------------------------------------------
+
+    def floquet_step(self, psi: MPS, trunc_params: dict | TruncParams | None = None) -> MPS:
+        """Apply one Floquet step (reference kicked_ising.py:100-126)."""
+        tp = trunc_params if isinstance(trunc_params, TruncParams) \
+            else TruncParams.from_dict(trunc_params)
+        psi_new, _ = floquet_period(psi, self.gates, tp)
+        return psi_new
+
+    def evolve(self, psi_initial: MPS, n_steps: int,
+               trunc_params: dict | TruncParams | None = None):
+        """Multi-step evolution returning (states, times); reference
+        kicked_ising.py:210-239.  The states list is materialized on host for
+        API parity -- use dynamics.tebd.CustomFloquet for the fused in-scan
+        observable path that avoids O(n_steps) state copies."""
+        tp = trunc_params if isinstance(trunc_params, TruncParams) \
+            else TruncParams.from_dict(trunc_params)
+        states = [psi_initial]
+        times = [0.0]
+        psi = psi_initial
+        for step in range(n_steps):
+            psi, _ = floquet_period(psi, self.gates, tp)
+            states.append(psi)
+            times.append((step + 1) * 2 * self.tau)  # full period = 2 tau
+        return states, times
+
+    def get_hamiltonian_terms(self) -> dict:
+        """Hamiltonian terms for analysis (reference kicked_ising.py:241-254)."""
+        ising_gates = [
+            np.asarray(
+                G.expm_two_site(
+                    G.two_site_hamiltonian(self.J, self.h_fields[i], self.h_fields[i + 1]),
+                    self.tau / 2.0,
+                )
+            )
+            for i in range(self.n_sites - 1)
+        ]
+        if self.bc == "periodic" and self.n_sites > 2:
+            ising_gates.append(np.asarray(G.expm_two_site(
+                G.two_site_hamiltonian(self.J, self.h_fields[-1], self.h_fields[0]),
+                self.tau / 2.0)))
+        return {
+            "J": self.J,
+            "h_fields": self.h_fields,
+            "tau": self.tau,
+            "pi_pulse": np.asarray(-1j * G.SIGMA_X),
+            "ising_gates": ising_gates,
+        }
+
+    def calculate_phase_diagram_point(self, psi_initial: MPS, n_steps: int = 200,
+                                      trunc_params: dict | None = None) -> dict:
+        """Observables for one phase-diagram point (reference
+        kicked_ising.py:256-303), computed with the fused scan path."""
+        from ..core import observables as obs
+        from ..dynamics.tebd import CustomFloquet
+
+        flo = CustomFloquet(self, trunc_params)
+        traces, times, info = flo.evolve_floquet_traces(psi_initial, n_steps)
+        drive_period = 2 * self.tau
+        fund_amp, subharm_amp = obs.subharmonic_response(traces["magnetization"], drive_period)
+        sz_final = traces["sz_sites"][-1]
+        mag_a = np.mean(sz_final[0::2])
+        mag_b = np.mean(sz_final[1::2])
+        return {
+            "loschmidt_echo_final": float(traces["loschmidt_echo"][-1]),
+            "subharmonic_amplitude": float(subharm_amp),
+            "fundamental_amplitude": float(fund_amp),
+            "order_parameter": float(abs(mag_a - mag_b)),
+            "max_bond_dimension": int(info["final_bond_dim"]),
+            "final_magnetization": float(traces["magnetization"][-1]),
+        }
