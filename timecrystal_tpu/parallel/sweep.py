@@ -1,0 +1,176 @@
+"""Multi-device parallelism: disorder ensembles and phase-diagram sweeps.
+
+The reference has NO parallelism of any kind (SURVEY.md section 2.3: the
+phase sweep is a serial double for-loop, main.py:467-481; one disorder seed
+per run).  The TPU-native design makes the two embarrassingly-parallel axes
+first-class:
+
+  * disorder realizations -- ``vmap`` over the h_i field batch,
+  * phase-diagram grid (h/J x T.J) -- flattened into the same batch axis,
+
+and shards the batch over a ``jax.sharding.Mesh``.  The only cross-device
+traffic is the scatter of (h_fields, tau) parameters in and the gather of
+observable time-series out -- no collectives inside the TEBD step itself
+(the physics is independent per realization), so the sharded program is
+pure SPMD with ICI traffic only at the boundaries.
+
+Traces come back as [batch, n_periods+1, ...] arrays; DTC detection runs
+host-side on these tiny series (analysis/detection.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import gates as G
+from ..core.mps import (MPS, bond_dimensions, entanglement_entropy,
+                        expectation_one_site, overlap, product_state)
+from ..core.truncate import TruncParams
+from ..models.kicked_ising import make_floquet_gates
+from ..ops import cpx
+
+
+class SweepSpec(NamedTuple):
+    """Static configuration of a batched Floquet evolution."""
+
+    L: int
+    chi: int
+    n_periods: int
+    J: float = 1.0
+    theta: float = float(np.pi)
+    tp: TruncParams = TruncParams.reference_hot_path()
+    dtype: str = "float32"   # 'float32' | 'float64'
+
+
+def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec):
+    """Evolve one realization; pure jnp (h_fields, tau may be traced)."""
+    from ..models.kicked_ising import floquet_period
+
+    dtype = jnp.float32 if spec.dtype == "float32" else jnp.float64
+    psi0 = product_state(basis_indices, chi=spec.chi, dtype=dtype)
+    gates = make_floquet_gates(spec.J, h_fields.astype(dtype), tau,
+                               theta=spec.theta, dtype=dtype)
+    sz_op = G.pauli_c("z", dtype)
+    L = spec.L
+    signs = jnp.asarray(np.where(np.arange(L) % 2 == 0, 1.0, -1.0), dtype)
+
+    def period_fn(psi, _):
+        psi, err = floquet_period(psi, gates, spec.tp)
+        sz = expectation_one_site(psi, sz_op).re
+        le = cpx.abs2(overlap(psi0, psi))
+        chi_eff = jnp.max(bond_dimensions(psi)[1:-1], initial=1)
+        ent_mid = entanglement_entropy(psi)[L // 2]
+        return psi, dict(sz_sites=sz, loschmidt_echo=le, max_chi=chi_eff,
+                         entropy_mid=ent_mid, trunc_err=err)
+
+    psi_final, tr = jax.lax.scan(period_fn, psi0, None, length=spec.n_periods)
+    # prepend t=0 observables
+    sz0 = expectation_one_site(psi0, sz_op).re
+    tr["sz_sites"] = jnp.concatenate([sz0[None], tr["sz_sites"]], axis=0)
+    one = jnp.ones((1,), dtype)
+    tr["loschmidt_echo"] = jnp.concatenate([one, tr["loschmidt_echo"]])
+    tr["max_chi"] = jnp.concatenate([jnp.ones((1,), tr["max_chi"].dtype), tr["max_chi"]])
+    tr["entropy_mid"] = jnp.concatenate([jnp.zeros((1,), dtype), tr["entropy_mid"]])
+    tr["trunc_err"] = jnp.concatenate([jnp.zeros((1,), dtype), tr["trunc_err"]])
+    tr["magnetization"] = tr["sz_sites"].sum(axis=-1)
+    tr["staggered_magnetization"] = (tr["sz_sites"] * signs[None]).sum(axis=-1) / L
+    return tr
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def evolve_batch(h_fields: jax.Array, taus: jax.Array, basis_indices: jax.Array,
+                 spec: SweepSpec):
+    """vmapped Floquet evolution over a batch of realizations.
+
+    Args:
+      h_fields:      [R, L] disorder fields per realization.
+      taus:          [R] half-period per realization (phase grids vary tau).
+      basis_indices: [L] shared initial product state (0 = up).
+      spec:          static SweepSpec.
+
+    Returns a dict of stacked traces with leading batch axis [R, ...].
+    """
+    return jax.vmap(lambda h, t: _traces_one(h, t, basis_indices, spec))(h_fields, taus)
+
+
+def default_mesh(axis_name: str = "batch", devices=None) -> Mesh:
+    """1D mesh over all local devices (v5e-8 slice or virtual CPU devices)."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices, (axis_name,))
+
+
+def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
+                         mesh: Mesh | None = None, axis_name: str = "batch"):
+    """Shard the realization batch over the device mesh.
+
+    The batch is padded up to a multiple of the mesh size (padded entries are
+    discarded from the returned traces).  XLA partitions the vmapped program
+    SPMD over the mesh: each device evolves its shard of realizations
+    independently; results gather over ICI at the output.
+    """
+    mesh = mesh or default_mesh(axis_name)
+    n_dev = mesh.devices.size
+    R = h_fields.shape[0]
+    R_pad = int(-(-R // n_dev) * n_dev)
+    if R_pad != R:
+        pad = R_pad - R
+        h_fields = jnp.concatenate([h_fields, jnp.tile(h_fields[:1], (pad, 1))])
+        taus = jnp.concatenate([taus, jnp.tile(taus[:1], (pad,))])
+
+    batch_sharding = NamedSharding(mesh, P(axis_name))
+    h_fields = jax.device_put(h_fields, batch_sharding)
+    taus = jax.device_put(taus, batch_sharding)
+    basis_indices = jax.device_put(jnp.asarray(basis_indices),
+                                   NamedSharding(mesh, P()))
+    out = evolve_batch(h_fields, taus, basis_indices, spec)
+    return {k: v[:R] for k, v in out.items()}
+
+
+def disorder_ensemble(key, n_realizations: int, spec: SweepSpec,
+                      h_disorder: float, tau: float, state_type: str = "neel",
+                      mesh: Mesh | None = None):
+    """Batched disorder ensemble (BASELINE config disordered_time_crystal:
+    'random fields h_i, N disorder realizations vmapped')."""
+    from ..models.kicked_ising import draw_disorder_batch
+
+    h = draw_disorder_batch(key, n_realizations, spec.L, h_disorder)
+    taus = jnp.full((n_realizations,), tau)
+    basis = _basis_indices(spec.L, state_type)
+    if mesh is not None:
+        return evolve_batch_sharded(h, taus, basis, spec, mesh)
+    return evolve_batch(h, jnp.asarray(taus), jnp.asarray(basis), spec)
+
+
+def phase_grid_batch(h_over_J_values, T_J_values, spec: SweepSpec,
+                     disorder_seed: int = 42):
+    """Flatten a (h/J x T.J) grid into (h_fields, taus) batches.
+
+    Replicates the reference's per-point disorder construction exactly:
+    np.random.seed(seed) is re-run per point, so every point uses the SAME
+    unit disorder pattern scaled by its h (reference main.py:318-324 +
+    kicked_ising.py:55-59) -- h_fields(h) = h * base_pattern.
+    """
+    np.random.seed(disorder_seed)
+    base = np.random.uniform(-1.0, 1.0, spec.L)   # same MT19937 stream
+    hs, Ts = np.meshgrid(np.asarray(h_over_J_values), np.asarray(T_J_values),
+                         indexing="ij")
+    hs, Ts = hs.ravel(), Ts.ravel()
+    h_fields = hs[:, None] * spec.J * base[None, :]
+    taus = Ts / (2.0 * spec.J)                    # tau = T_J/(2 J), main.py:315
+    return jnp.asarray(h_fields), jnp.asarray(taus), hs, Ts
+
+
+def _basis_indices(L: int, state_type: str) -> np.ndarray:
+    if state_type == "neel":
+        return np.array([0 if i % 2 == 0 else 1 for i in range(L)], np.int32)
+    if state_type == "all_up":
+        return np.zeros(L, np.int32)
+    if state_type == "all_down":
+        return np.ones(L, np.int32)
+    raise ValueError(f"Unknown state type for sweeps: {state_type}")
