@@ -1,0 +1,143 @@
+"""Phase-diagram engine: batched on-device sweep + host-side scoring + plot.
+
+Reference: main.py:275-567 (``calculate_phase_point`` /
+``generate_phase_diagram``) -- a *serial* 12x10 double loop, each point a
+full Python-level evolution.  Here the entire grid evolves as ONE batched
+device program (parallel/sweep.py), sharded over the chip mesh when one is
+available; detection and rendering stay on host.
+
+Reference hard-codings preserved (SURVEY.md section 5 config caveat):
+L=16, 80 periods, chi cap 24, seed from params, h/J in [0, 0.8] x T.J in
+[0.8, 4.0] on a 12x10 grid, neel start, tau = T_J/(2 J).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ..core.truncate import TruncParams
+from ..parallel.sweep import SweepSpec, evolve_batch, evolve_batch_sharded, \
+    phase_grid_batch, _basis_indices
+from .detection import score_grid, score_phase_point
+
+GRID_HARDCODED = dict(n_sites=16, n_periods=80, max_chi=24,
+                      h_range=(0.0, 0.8), T_range=(0.8, 4.0),
+                      n_points=(12, 10))
+
+
+def calculate_phase_point(h_over_J: float, T_J: float, params: Dict) -> Dict:
+    """Single-point evaluation (reference main.py:275-415 contract)."""
+    res = sweep_phase_grid([h_over_J], [T_J], params)
+    return res["records"][0]
+
+
+def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
+                     chi_pad: int = 32) -> Dict:
+    """Evolve the whole (h/J x T.J) grid in one batched call and score it."""
+    hc = GRID_HARDCODED
+    tp = TruncParams(chi_max=hc["max_chi"],
+                     svd_min=float(params.get("SVD_MIN", 1e-12)),
+                     trunc_cut=float(params.get("SVD_CUTOFF", 1e-7)))
+    spec = SweepSpec(L=hc["n_sites"], chi=chi_pad, n_periods=hc["n_periods"],
+                     J=float(params.get("J", 1.0)), theta=float(np.pi), tp=tp)
+    h_fields, taus, hs, Ts = phase_grid_batch(
+        h_values, T_values, spec,
+        disorder_seed=int(params.get("RANDOM_SEED", 42)))
+    basis = _basis_indices(spec.L, "neel")
+    if mesh is not None:
+        traces = evolve_batch_sharded(h_fields, taus, basis, spec, mesh)
+    else:
+        traces = evolve_batch(h_fields, taus, basis, spec)
+    traces = {k: np.asarray(v) for k, v in traces.items()}
+
+    taus_np = np.asarray(taus)
+    n_stored = traces["loschmidt_echo"].shape[1]
+    times = np.arange(n_stored)[None, :] * (2.0 * taus_np)[:, None]
+    records = score_grid(traces, times, hs, Ts, drive_periods=2.0 * taus_np)
+    return {"records": records, "hs": hs, "Ts": Ts, "traces": traces}
+
+
+def generate_phase_diagram(params: Dict, mesh=None, out_dir: str = "figures",
+                           show_progress: bool = True) -> Tuple:
+    """Compute, render, and save the phase diagram
+    (reference main.py:417-567; same output files)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    hc = GRID_HARDCODED
+    nh, nT = hc["n_points"]
+    h_values = np.linspace(*hc["h_range"], nh)
+    T_values = np.linspace(*hc["T_range"], nT)
+
+    print("=" * 60)
+    print("GENERATING PHASE DIAGRAM")
+    print("=" * 60)
+    print(f"Computing {nh * nT} phase diagram points (one batched device "
+          f"program; the reference loops serially here)...")
+    print(f"h/J range: [{hc['h_range'][0]:.2f}, {hc['h_range'][1]:.2f}]  "
+          f"T*J range: [{hc['T_range'][0]:.2f}, {hc['T_range'][1]:.2f}]")
+    print(f"System size: {hc['n_sites']}, Evolution periods: {hc['n_periods']}")
+
+    res = sweep_phase_grid(h_values, T_values, params, mesh=mesh)
+    A2T = np.zeros((nT, nh))
+    raw = np.zeros((nT, nh))
+    success = np.zeros((nT, nh), dtype=bool)
+    for rec, h, T in zip(res["records"], res["hs"], res["Ts"]):
+        i = int(np.argmin(np.abs(h_values - h)))
+        j = int(np.argmin(np.abs(T_values - T)))
+        A2T[j, i] = rec["A2T"]
+        raw[j, i] = rec["dtc_score_raw"]
+        success[j, i] = rec["success"]
+
+    fig, ax = plt.subplots(figsize=(10, 8))
+    im = ax.imshow(A2T, extent=[*hc["h_range"], *hc["T_range"]],
+                   aspect="auto", origin="lower", cmap="viridis",
+                   interpolation="bilinear", vmin=0,
+                   vmax=max(np.max(A2T), 1e-12))
+    cbar = plt.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
+    cbar.set_label(r"DTC Order Parameter $A_{2T}$", rotation=270,
+                   labelpad=25, fontsize=18)
+    cbar.ax.tick_params(labelsize=16)
+
+    if np.max(A2T) > 0.1:
+        ax.contour(h_values, T_values, A2T,
+                   levels=np.linspace(0.1, np.max(A2T), 4),
+                   colors="white", linewidths=0.8, alpha=0.8)
+    if np.max(A2T) > 0.3:
+        ax.contour(h_values, T_values, A2T, levels=[np.max(A2T) * 0.5],
+                   colors="white", linewidths=2, linestyles="--")
+
+    label_style = dict(fontsize=16, color="white", ha="center", va="center",
+                       weight="bold",
+                       bbox=dict(boxstyle="round,pad=0.4", facecolor="black",
+                                 alpha=0.7))
+    ax.text(0.1, 3.5, "Thermal\n(Fast Drive)", **label_style)
+    ax.text(0.25, 2.0, "DTC", **{**label_style, "fontsize": 18})
+    ax.text(0.65, 2.5, "MBL\n(High Disorder)", **label_style)
+    ax.text(0.4, 1.0, "Adiabatic\n(Slow Drive)", **label_style)
+    ax.axvline(x=0.5, color="red", linestyle=":", alpha=0.6, linewidth=1)
+    ax.text(0.52, 3.7, "MBL transition", fontsize=16, color="red",
+            rotation=90, va="top")
+    ax.set_xlabel(r"Disorder strength $h/J$", fontsize=18)
+    ax.set_ylabel(r"Drive period $T \cdot J$", fontsize=18)
+    ax.tick_params(axis="both", which="major", labelsize=16)
+    plt.tight_layout(pad=1.5)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for ext, kw in (("png", {"dpi": 600}), ("pdf", {})):
+        fig.savefig(os.path.join(out_dir, f"final_phase_diagram.{ext}"),
+                    bbox_inches="tight", facecolor="white",
+                    edgecolor="none", **kw)
+
+    print(f"\nPhase diagram saved to {out_dir}/final_phase_diagram.png/.pdf")
+    print(f"Success rate: {np.mean(success) * 100:.1f}%")
+    print(f"A2T range: [{np.min(A2T):.3f}, {np.max(A2T):.3f}]")
+    print(f"Raw DTC score range: [{np.min(raw):.3f}, {np.max(raw):.3f}]")
+    best = np.unravel_index(np.argmax(A2T), A2T.shape)
+    print(f"Best DTC point: h/J = {h_values[best[1]]:.3f}, "
+          f"T*J = {T_values[best[0]]:.3f}, A2T = {A2T[best]:.3f}")
+    return fig, ax

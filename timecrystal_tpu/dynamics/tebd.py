@@ -156,6 +156,44 @@ class CustomFloquet:
         return states, times, info
 
 
+def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
+                        trunc_params: dict | TruncParams | None = None,
+                        chi_start: int = 16, chi_limit: int = 256,
+                        measure_every: int = 1):
+    """Chi-escalation driver: evolve at a small padded chi and re-run at 2x
+    whenever the effective bond dimension saturates the padding.
+
+    Fixed-shape XLA programs cannot grow chi adaptively the way the
+    reference's TeNPy objects do; this host-side escalation loop recovers
+    the adaptive behavior while keeping each attempt a single compiled
+    program.  For the reference's exact-pi-pulse configs the dynamics stays
+    rank-1 and the first (cheapest) level always suffices.
+
+    ``model_kwargs`` are KickedIsingModel arguments (without chi).
+    Returns (traces, times, info, model); info gains 'chi_pad_used'.
+    """
+    from ..core.mps import create_initial_state
+    from ..models.kicked_ising import KickedIsingModel
+
+    tp = trunc_params if isinstance(trunc_params, TruncParams) \
+        else TruncParams.from_dict(trunc_params)
+    cap = tp.chi_max if tp.chi_max else chi_limit
+    chi = min(chi_start, chi_limit)
+    while True:
+        model = KickedIsingModel(chi=chi, **model_kwargs)
+        psi0 = create_initial_state(model.n_sites, state_type, chi=chi,
+                                    dtype=model.dtype)
+        flo = CustomFloquet(model, tp)
+        traces, times, info = flo.evolve_floquet_traces(psi0, n_periods,
+                                                        measure_every)
+        saturated = int(np.max(traces["max_chi"])) >= chi
+        if saturated and chi < min(cap, chi_limit):
+            chi = min(chi * 2, chi_limit)
+            continue
+        info["chi_pad_used"] = chi
+        return traces, times, info, model
+
+
 # ---------------------------------------------------------------------------
 # Generic nearest-neighbor Suzuki-Trotter TEBD (reference TEBDEvolution)
 # ---------------------------------------------------------------------------

@@ -17,9 +17,11 @@ TeNPy), with two interchangeable backends:
          (eigenvalues of G doubled; real eigenvector [x; y] maps to complex
          eigenvector x + i y, and its J-partner [-y; x] maps to i(x + i y),
          i.e. the SAME complex line),
-      3. masked Gram-Schmidt scan over the 2n candidate complex vectors to
-         select n orthonormal right-singular vectors (rejects each
-         J-duplicate; robust to degenerate clusters),
+      3. selection of n right-singular vectors from the 2n candidates:
+         fast path = even indices (J-partners are adjacent and complex-
+         parallel) + Newton-Schulz polish + a 64*eps diagonal split of
+         exact ties; robust path ('gram_eigh_gs') = masked Gram-Schmidt
+         scan over all candidates,
       4. singular values as column norms of theta V (computed unsquared,
          so large sigma keep full f32 accuracy; sigma below
          ~sqrt(eps_f32)*sigma_max are resolution-limited -- they sit below
@@ -92,18 +94,117 @@ def _orthonormal_select(cands: C, n: int):
     return C(Q_re, Q_im)
 
 
-def _svd_gram_eigh(theta: C):
+def _fixed_perturbation(n: int, dtype) -> jax.Array:
+    """Deterministic 'generic' diagonal in (0.5, 1.5): golden-ratio sequence
+    (no Mersenne structure, no runtime RNG state)."""
+    k = np.arange(1, n + 1, dtype=np.float64)
+    vals = np.mod(k * 0.6180339887498949, 1.0) + 0.5
+    return jnp.diag(jnp.asarray(vals, dtype=dtype))
+
+
+def _select_fast(cands: C, n: int) -> C:
+    """Fast candidate selection: even indices + Newton-Schulz polish.
+
+    Within one exactly-doubled eigenvalue of R(G), the two real eigenvectors
+    w and (necessarily) +-Jw map to the SAME complex line (v and +-iv), and
+    eigh returns them adjacent in the sorted order -- so taking every second
+    candidate picks exactly one representative per complex eigenvector in
+    the generic case.  Two Newton-Schulz polar iterations then repair the
+    mild non-orthonormality f32 eigh leaves between near-degenerate
+    clusters.  Pathological mis-pairing (exactly degenerate NONZERO Schmidt
+    clusters where the eigensolver happens to mix J-planes) is handled by
+    the scan-based Gram-Schmidt path (method='gram_eigh_gs'), which
+    cross-validation tests exercise; zero-sigma slots never matter because
+    truncation masks their Vh rows to zero.
+    """
+    V = C(cands.re[:, 0::2], cands.im[:, 0::2])      # [n, n] even images
+    W = C(cands.re[:, 1::2], cands.im[:, 1::2])      # [n, n] odd images
+
+    # --- local dedup for degenerate clusters -------------------------------
+    # A 2-fold sigma degeneracy is a 4-fold real cluster whose four
+    # candidates span only 2 complex dims; even-index selection can then
+    # pick two complex-parallel vectors.  Detect adjacent parallel picks
+    # and rebuild column k+1 from whichever cluster candidate (even k+1,
+    # its odd partner, or odd k) keeps the largest residual orthogonal to
+    # column k.  Fully vectorized -- no scan; chains longer than one
+    # correction (>=3-fold sigma ties) fall to 'gram_eigh_gs'.
+    u_prev = C(V.re[:, :-1], V.im[:, :-1])           # columns 0..n-2
+    candidates = (C(V.re[:, 1:], V.im[:, 1:]),        # even k+1 (current)
+                  C(W.re[:, 1:], W.im[:, 1:]),        # odd  k+1
+                  C(W.re[:, :-1], W.im[:, :-1]))      # odd  k
+    best = None
+    best_n2 = None
+    for cand in candidates:
+        ov = cpx.einsum("ik,ik->k", u_prev.conj(), cand)   # u_k^H c_k
+        resid = cand - u_prev * ov[None, :]
+        n2 = jnp.sum(cpx.abs2(resid), axis=0)
+        if best is None:
+            best, best_n2 = resid, n2
+        else:
+            take = n2 > best_n2
+            best = cpx.where(take[None, :], resid, best)
+            best_n2 = jnp.where(take, n2, best_n2)
+    overlap0 = cpx.cabs(cpx.einsum("ik,ik->k", u_prev.conj(),
+                                   candidates[0]))  # |<u_k, v_{k+1}>|
+    dup = overlap0 > 0.70
+    inv = 1.0 / jnp.sqrt(jnp.maximum(best_n2, 1e-30))
+    fixed = best * inv[None, :]
+    keep_mask = dup[None, :]
+    V = C(V.re.at[:, 1:].set(jnp.where(keep_mask, fixed.re, V.re[:, 1:])),
+          V.im.at[:, 1:].set(jnp.where(keep_mask, fixed.im, V.im[:, 1:])))
+
+    # --- Newton-Schulz orthonormalization polish ---------------------------
+    # Quadratic convergence: defect e -> ~(3/4)e^2 per step.  Degenerate
+    # clusters can start with defects up to ~0.85 after dedup (measured
+    # 0.92 pre-dedup), so 6 iterations take worst cases below 1e-9; the
+    # generic case (defect ~eps) is unaffected.  Mixing stays within
+    # clusters (cross-cluster overlaps are ~0), which is gauge freedom.
+    eye = jnp.eye(n, dtype=cands.dtype)
+    for _ in range(6):
+        P = cpx.einsum("ji,jk->ik", V.conj(), V)     # V^H V
+        corr = C(1.5 * eye - 0.5 * P.re, -0.5 * P.im)
+        V = cpx.einsum("ij,jk->ik", V, corr)
+    return V
+
+
+def _svd_gram_eigh(theta: C, select: str = "fast"):
     """TPU-native complex SVD via Gram matrix + real-embedded eigh."""
     m, n = theta.shape[-2:]
     if m != n:
         raise NotImplementedError("gram_eigh SVD implemented for square theta")
     # G = theta^H theta  (Hermitian)
     G = cpx.einsum("ji,jk->ik", theta.conj(), theta)
+    if select == "fast":
+        # Split exactly-degenerate eigenvalue clusters with a tiny FIXED
+        # diagonal perturbation: the structural J-doubling of the real
+        # embedding is untouched (partners stay exact and adjacent), but
+        # distinct complex eigenvectors no longer share an eigenvalue, so
+        # even-index selection picks one representative per complex line
+        # even for symmetric/degenerate Schmidt spectra.  Singular values
+        # are unaffected: S is recomputed exactly from ||theta V|| below,
+        # and intra-cluster rotation of V is gauge freedom.
+        # Splitting scale: a trade-off measured empirically.  Large splits
+        # (sqrt(eps)) guarantee clean pairing but gauge-mix sigma clusters
+        # up to sqrt(eps)*sigma_max, corrupting small Schmidt values (1e-5
+        # relative errors observed in f64).  64*eps keeps sigma errors at
+        # ambient-noise level and handles generic exact ties; HIGH-fold
+        # exactly-degenerate nonzero clusters (measure-zero in disordered
+        # physics -- disorder breaks the symmetries that create them) can
+        # still mis-pair, for which the scan-based 'gram_eigh_gs' method is
+        # the robust fallback (regression-tested).  The planned Pallas
+        # one-sided Jacobi kernel has no pairing step at all.
+        eps = 64.0 * jnp.finfo(theta.dtype).eps
+        scale = jnp.max(jnp.abs(jnp.diagonal(G.re))) + 1e-30
+        r = _fixed_perturbation(n, theta.dtype)
+        G = C(G.re + (eps * scale) * r, G.im)
     Rg = cpx.real_embedding(G)                       # [2n, 2n] real symmetric
     w, W = jnp.linalg.eigh(Rg)                       # ascending
     W = W[:, ::-1]                                   # descending importance
     cands = C(W[:n, :], W[n:, :])                    # [n, 2n] complex columns
-    V = _orthonormal_select(cands, n)                # [n, n]
+    if select == "fast":
+        V = _select_fast(cands, n)                   # [n, n]
+    else:
+        V = _orthonormal_select(cands, n)            # [n, n]
     P = cpx.einsum("ij,jk->ik", theta, V)            # theta V = U S
     S = jnp.sqrt(jnp.sum(cpx.abs2(P), axis=-2))      # column norms
     # enforce descending order (GS may disorder inside degenerate clusters)
@@ -120,12 +221,21 @@ def _svd_gram_eigh(theta: C):
 def csvd(theta: C, method: str = "auto"):
     """Batched complex SVD: theta [..., m, n] -> (U, S, Vh), S descending.
 
-    method: 'native' (complex LAPACK; CPU), 'gram_eigh' (TPU), or 'auto'
-    (native on CPU backend, gram_eigh otherwise).
+    method: 'native' (complex LAPACK; CPU), 'gram_eigh' (TPU, fast
+    selection), 'gram_eigh_gs' (TPU, scan-based Gram-Schmidt selection --
+    robust to pathological degeneracies, much slower), or 'auto' (native on
+    CPU backend, gram_eigh otherwise).
     """
     if method == "auto":
         method = "native" if jax.default_backend() == "cpu" else "gram_eigh"
-    fn = _svd_native if method == "native" else _svd_gram_eigh
+    if method == "native":
+        fn = _svd_native
+    elif method == "gram_eigh":
+        fn = _svd_gram_eigh
+    elif method == "gram_eigh_gs":
+        fn = partial(_svd_gram_eigh, select="gs")
+    else:
+        raise ValueError(f"unknown csvd method: {method}")
     ndim = theta.ndim
     if ndim == 2:
         return fn(theta)
