@@ -1,0 +1,299 @@
+"""Open-system evolution: stochastic dephasing and Lindblad dynamics.
+
+Rebuilds the reference's pyc-only module src/dynamics/open_system.py
+(recovered from bytecode, SURVEY.md component 14):
+
+  * ``OpenSystemEvolution``: pure-state approximation -- each Floquet period
+    applies the model's floquet_step and then small random Z rotations per
+    site with angle ~ Normal(0, sqrt(2 gamma dt)) (stochastic unwinding of
+    the dephasing channel).  TPU-first upgrades: angles come from
+    ``jax.random`` folded per period inside the scan, and a whole
+    TRAJECTORY ENSEMBLE can be vmapped and averaged (the reference runs a
+    single trajectory).
+  * ``LindbladEvolution``: genuine master equation
+        drho/dt = -i[H, rho] + gamma sum_j (Z_j rho Z_j - rho)
+    solved by vectorizing rho as a local-dimension-4 "superket" MPS and
+    Trotterizing the Lindbladian: two-site superoperator gates
+    exp(dt(-i(H_b x I - I x H_b^T))) via the same batched bond-update
+    kernel (the MPS core is local-dimension generic), plus the analytic
+    DIAGONAL one-site dephasing semigroup exp(dt gamma (Z x Z - I)).
+
+BASELINE config covered: ``time_crystal_with_dephasing`` (open-system
+Floquet evolution with dephasing, L=12).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import gates as G
+from ..core.mps import (MPS, apply_one_site_gates, bond_dimensions,
+                        expectation_one_site, product_state)
+from ..core.truncate import TruncParams, apply_bond_gates
+from ..models.kicked_ising import floquet_period
+from ..ops import cpx
+from ..ops.cpx import C
+
+
+# ---------------------------------------------------------------------------
+# Stochastic pure-state dephasing (OpenSystemEvolution)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n_periods", "tp"))
+def _evolve_stochastic_scan(psi0: MPS, gates, key, gamma_dt: float,
+                            n_periods: int, tp: TruncParams):
+    sz_op = G.pauli_c("z", psi0.dtype)
+    L = psi0.L
+
+    def period_fn(carry, k):
+        psi, key = carry
+        psi, err = floquet_period(psi, gates, tp)
+        key, sub = jax.random.split(key)
+        # random Z rotation per site: gate diag(e^{-i a}, e^{+i a}) with
+        # a ~ N(0, sqrt(gamma dt)): the channel average reproduces the
+        # dephasing Lindbladian's coherence decay E[e^{2ia}] = e^{-2 gamma dt}
+        angles = jax.random.normal(sub, (L,), psi.dtype) * \
+            jnp.sqrt(jnp.asarray(gamma_dt, psi.dtype))
+        ph = cpx.expi(-angles)
+        zero = jnp.zeros_like(angles)
+        g = C(jnp.stack([jnp.stack([ph.re, zero], -1),
+                         jnp.stack([zero, ph.conj().re], -1)], -2),
+              jnp.stack([jnp.stack([ph.im, zero], -1),
+                         jnp.stack([zero, ph.conj().im], -1)], -2))
+        psi = apply_one_site_gates(psi, g)
+        sz = expectation_one_site(psi, sz_op).re
+        return (psi, key), dict(sz_sites=sz,
+                                max_chi=jnp.max(bond_dimensions(psi)[1:-1],
+                                                initial=1))
+
+    (psi_f, _), tr = jax.lax.scan(period_fn, (psi0, key), jnp.arange(n_periods))
+    return psi_f, tr
+
+
+class OpenSystemEvolution:
+    """Stochastic pure-state dephasing around the Floquet drive.
+
+    API parity with the reference's recovered class (model, gamma, max_chi);
+    ``evolve_floquet_period`` applies one drive period + dephasing kicks.
+    """
+
+    def __init__(self, model, gamma: float, max_chi: int = 64,
+                 trunc_params: dict | TruncParams | None = None, seed: int = 0):
+        self.model = model
+        self.gamma = float(gamma)
+        self.max_chi = int(max_chi)
+        if isinstance(trunc_params, TruncParams):
+            self.trunc_params = trunc_params
+        else:
+            d = dict(trunc_params or {})
+            d.setdefault("chi_max", max_chi)
+            self.trunc_params = TruncParams.from_dict(d)
+        self._key = jax.random.PRNGKey(seed)
+
+    def _dt(self) -> float:
+        return 2.0 * self.model.tau  # one Floquet period
+
+    def evolve_floquet_period(self, psi: MPS) -> MPS:
+        """One drive period followed by the dephasing approximation."""
+        psi_f, _ = _evolve_stochastic_scan(psi, self.model.gates, self._key,
+                                           self.gamma * self._dt(), 1,
+                                           self.trunc_params)
+        self._key, _ = jax.random.split(self._key)
+        return psi_f
+
+    def evolve(self, psi0: MPS, n_periods: int) -> Tuple[Dict, List[float], Dict]:
+        """Single-trajectory evolution returning (traces, times, info)."""
+        start = time.time()
+        psi_f, tr = _evolve_stochastic_scan(psi0, self.model.gates, self._key,
+                                            self.gamma * self._dt(), n_periods,
+                                            self.trunc_params)
+        jax.block_until_ready(tr["sz_sites"])
+        self._key, _ = jax.random.split(self._key)
+        traces = {k: np.asarray(v) for k, v in tr.items()}
+        traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
+        L = psi0.L
+        signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
+        traces["staggered_magnetization"] = (traces["sz_sites"] * signs).sum(-1) / L
+        times = [(p + 1) * self._dt() for p in range(n_periods)]
+        info = {"wall_time": time.time() - start, "n_periods": n_periods,
+                "gamma": self.gamma}
+        return traces, times, info
+
+    def evolve_ensemble(self, psi0: MPS, n_periods: int,
+                        n_trajectories: int) -> Tuple[Dict, List[float], Dict]:
+        """vmapped trajectory ensemble: the channel average (upgrade over
+        the reference's single trajectory).  Returns mean traces."""
+        keys = jax.random.split(self._key, n_trajectories + 1)
+        self._key = keys[0]
+        start = time.time()
+        fn = jax.vmap(lambda k: _evolve_stochastic_scan(
+            psi0, self.model.gates, k, self.gamma * self._dt(), n_periods,
+            self.trunc_params)[1])
+        tr = fn(keys[1:])
+        jax.block_until_ready(tr["sz_sites"])
+        sz = np.asarray(tr["sz_sites"])          # [T, n, L]
+        traces = {
+            "sz_sites": sz.mean(axis=0),
+            "sz_sites_std": sz.std(axis=0),
+            "max_chi": np.asarray(tr["max_chi"]).max(axis=0),
+        }
+        traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
+        L = psi0.L
+        signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
+        traces["staggered_magnetization"] = (traces["sz_sites"] * signs).sum(-1) / L
+        times = [(p + 1) * self._dt() for p in range(n_periods)]
+        info = {"wall_time": time.time() - start, "n_periods": n_periods,
+                "n_trajectories": n_trajectories, "gamma": self.gamma}
+        return traces, times, info
+
+    # reference parity stubs (the pyc versions pass the state through)
+    def psi_to_rho(self, psi: MPS) -> MPS:
+        return psi
+
+    def rho_to_psi_approximate(self, rho: MPS) -> MPS:
+        return rho
+
+
+# ---------------------------------------------------------------------------
+# Vectorized density-matrix Lindblad evolution
+# ---------------------------------------------------------------------------
+
+def density_mps_from_product(basis_indices, chi: int, dtype=jnp.float32) -> MPS:
+    """rho = |b><b| for a product state, as a local-dim-4 superket MPS.
+
+    Vectorization convention per site: vec(rho)_[p*2+q] = rho_{p,q} with p
+    the ket and q the bra index.
+    """
+    idx = np.asarray(basis_indices)
+    super_idx = idx * 2 + idx  # |b><b| -> diagonal entries
+    return product_state(jnp.asarray(super_idx), chi=chi, d=4, dtype=dtype)
+
+
+def vec_identity_mps(L: int, chi: int, dtype=jnp.float32) -> MPS:
+    """vec(I) as a superket MPS: sum of |00> and |11> per site (norm 2/site).
+    Used to take traces: Tr(rho) = <vec(I)|vec(rho)> (unnormalized MPS)."""
+    B_re = jnp.zeros((L, chi, 4, chi), dtype)
+    B_re = B_re.at[:, 0, 0, 0].set(1.0).at[:, 0, 3, 0].set(1.0)
+    lam = jnp.zeros((L + 1, chi), dtype).at[:, 0].set(1.0)
+    return MPS(B=C(B_re, jnp.zeros_like(B_re)), lam=lam)
+
+
+def trace_rho(rho: MPS) -> C:
+    """Tr(rho) via transfer contraction with vec(I)."""
+    from ..core.mps import overlap
+    ident = vec_identity_mps(rho.L, rho.chi, rho.dtype)
+    return overlap(ident, rho)
+
+
+def expectation_rho_one_site(rho: MPS, op: np.ndarray) -> np.ndarray:
+    """Tr(rho O_i) for all sites: replace site i's trace-vector by vec(O^T).
+
+    O(L^2 chi^3) host loop -- fine for analysis trace lengths."""
+    from ..core.mps import overlap
+    L = rho.L
+    vals = np.zeros(L, dtype=complex)
+    opv = np.asarray(op).T.reshape(4)  # <vec(O)|vec(rho)> = Tr(O^dag rho)
+    for i in range(L):
+        ident = vec_identity_mps(L, rho.chi, rho.dtype)
+        B_re = ident.B.re.at[i, 0, :, 0].set(jnp.asarray(opv.real, rho.dtype))
+        B_im = ident.B.im.at[i, 0, :, 0].set(jnp.asarray(opv.imag, rho.dtype))
+        probe = MPS(B=C(B_re, B_im), lam=ident.lam)
+        vals[i] = complex(*map(float, overlap(probe, rho)))
+    return vals
+
+
+class LindbladEvolution:
+    """Trotterized Lindblad master equation on a vectorized density MPS.
+
+    drho/dt = -i[H, rho] + gamma sum_j (Z_j rho Z_j - rho)
+    (reference pyc docstring: 'Equation (2) of the paper').
+
+    ``hamiltonian``: a dynamics.tebd.NearestNeighborModel (bond terms H_b).
+    """
+
+    def __init__(self, hamiltonian, gamma: float, max_chi: int = 64,
+                 dtype=jnp.float32):
+        self.H = hamiltonian
+        self.gamma = float(gamma)
+        self.max_chi = int(max_chi)
+        self.dtype = dtype
+
+    def dephasing_superoperator(self, site: int) -> np.ndarray:
+        """Single-site dephasing generator gamma (Z x Z - I), 4x4 diagonal
+        (reference method name preserved)."""
+        Z = np.asarray(G.SIGMA_Z)
+        return self.gamma * (np.kron(Z, Z) - np.eye(4))
+
+    def _bond_supergates(self, dt: float) -> C:
+        """exp(dt * (-i)(H_b x I - I x H_b^T)) per bond: 16x16 dense."""
+        import scipy.linalg
+        eye4 = np.eye(4)
+        gates = []
+        for Hb in self.H.bond_H:
+            Lb = -1j * (np.kron(Hb, eye4) - np.kron(eye4, Hb.T))
+            # reorder from (ket1 ket2 bra1 bra2) to per-site superkets
+            # (ket1 bra1)(ket2 bra2): permutation of the 16-dim index
+            P = _pair_permutation()
+            Lb = P @ Lb @ P.T
+            gates.append(scipy.linalg.expm(dt * Lb))
+        g = np.stack(gates).reshape(-1, 4, 4, 4, 4)
+        return G.gate_from_numpy(g, dtype=self.dtype)
+
+    def _dephasing_gates(self, dt: float) -> C:
+        """Analytic diagonal semigroup exp(dt gamma (Z x Z - I)) per site."""
+        d = np.exp(dt * np.diag(self.dephasing_superoperator(0)))
+        g = np.diag(d).astype(complex)
+        return G.gate_from_numpy(g, dtype=self.dtype)
+
+    def _single_step(self, rho: MPS, dt: float, gates_half: C, gates_full: C,
+                     deph: C, tp: TruncParams) -> MPS:
+        rho, _ = apply_bond_gates(rho, gates_half, start=0, tp=tp)
+        rho, _ = apply_bond_gates(rho, gates_full, start=1, tp=tp)
+        rho, _ = apply_bond_gates(rho, gates_half, start=0, tp=tp)
+        rho = apply_one_site_gates(rho, deph)
+        return rho
+
+    def evolve(self, rho_initial: MPS, total_time: float, dt: float,
+               observe_every: int = 1):
+        """Evolve vec(rho); returns (rhos, times, info).
+
+        Truncation uses renormalize=False -- the superket norm is NOT
+        conserved by the Lindbladian (purity decays); only Tr(rho) is,
+        which ``trace_rho`` monitors.
+        """
+        n_steps = int(round(total_time / dt))
+        tp = TruncParams(chi_max=self.max_chi, svd_min=1e-12,
+                         renormalize=False)
+        gates_half = self._bond_supergates(dt / 2)
+        gates_full = self._bond_supergates(dt)
+        deph = self._dephasing_gates(dt)
+        rhos, times = [rho_initial], [0.0]
+        rho = rho_initial
+        start = time.time()
+        for k in range(n_steps):
+            rho = self._single_step(rho, dt, gates_half, gates_full, deph, tp)
+            if k % observe_every == 0:
+                rhos.append(rho)
+                times.append((k + 1) * dt)
+        info = {"wall_time": time.time() - start, "n_steps": n_steps,
+                "final_trace": complex(*map(float, trace_rho(rho)))}
+        return rhos, times, info
+
+
+def _pair_permutation() -> np.ndarray:
+    """Permutation matrix reshuffling (k1 k2 b1 b2) -> (k1 b1 k2 b2)."""
+    P = np.zeros((16, 16))
+    for k1 in range(2):
+        for k2 in range(2):
+            for b1 in range(2):
+                for b2 in range(2):
+                    src = ((k1 * 2 + k2) * 2 + b1) * 2 + b2
+                    dst = ((k1 * 2 + b1) * 2 + k2) * 2 + b2
+                    P[dst, src] = 1.0
+    return P
