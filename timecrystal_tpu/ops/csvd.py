@@ -218,6 +218,78 @@ def _svd_gram_eigh(theta: C, select: str = "fast"):
     return U, S, Vh
 
 
+def heigh(G: C, method: str = "auto"):
+    """Complex Hermitian eigendecomposition: G = V diag(w) V^H, w ascending.
+
+    Same backend split as ``csvd``: packed LAPACK eigh on CPU; real-embedded
+    eigh + J-pair selection on TPU (no complex dtypes there).
+    """
+    if method == "auto":
+        method = "native" if jax.default_backend() == "cpu" else "gram_eigh"
+    if G.ndim > 2:
+        f = partial(heigh, method=method)
+        for _ in range(G.ndim - 2):
+            f = jax.vmap(f)
+        return f(G)
+    if method == "native":
+        w, V = jnp.linalg.eigh(_pack_complex(G))
+        return w.astype(G.dtype), _unpack_complex(V, G.dtype)
+    n = G.shape[-1]
+    eps = 64.0 * jnp.finfo(G.dtype).eps
+    scale = jnp.max(jnp.abs(jnp.diagonal(G.re))) + 1e-30
+    Gp = C(G.re + (eps * scale) * _fixed_perturbation(n, G.dtype), G.im)
+    w2, W = jnp.linalg.eigh(cpx.real_embedding(Gp))          # ascending, 2n
+    W = W[:, ::-1]
+    cands = C(W[:n, :], W[n:, :])
+    V = _select_fast(cands, n)                               # desc eigenvalue
+    V = C(V.re[:, ::-1], V.im[:, ::-1])                      # ascending
+    # Rayleigh quotients on the UNperturbed G (exact eigenvalues for exact
+    # eigenvectors; removes the perturbation bias)
+    GV = cpx.einsum("ij,jk->ik", G, V)
+    w = cpx.einsum("ik,ik->k", V.conj(), GV).re
+    return w, V
+
+
+def hermitian_invsqrt(G: C, rel_eps: float | None = None, method: str = "auto"):
+    """(G^{-1/2}, G^{1/2}) for Hermitian PSD G with padded-rank masking:
+    eigenvalues below rel_eps * w_max are treated as exact zeros (their
+    directions stay zero, matching the padded-MPS convention).  Default
+    rel_eps = 16 * machine eps -- as tight as the Gram construction can
+    resolve (G already squares the condition number)."""
+    w, V = heigh(G, method=method)
+    if rel_eps is None:
+        rel_eps = 16.0 * float(jnp.finfo(G.dtype).eps)
+    wmax = jnp.max(w) + 1e-300
+    ok = w > rel_eps * wmax
+    inv = jnp.where(ok, 1.0 / jnp.sqrt(jnp.maximum(w, 1e-300)), 0.0)
+    sq = jnp.where(ok, jnp.sqrt(jnp.maximum(w, 0.0)), 0.0)
+    Vh = V.conj().transpose()
+    inv_sqrt = cpx.einsum("ij,jk->ik", V * inv[None, :], Vh)
+    sqrt = cpx.einsum("ij,jk->ik", V * sq[None, :], Vh)
+    return inv_sqrt, sqrt
+
+
+def cqr_tall(M: C, method: str = "auto"):
+    """Isometric factorization M = Q R for tall complex M [m, n] (m >= n):
+    Q [m, n] with Q^H Q = I on the numerical range, R [n, n] Hermitian PSD.
+
+    Cholesky-QR-via-eigh: G = M^H M, Q = M G^{-1/2}, R = G^{1/2}.  R is not
+    triangular -- TDVP only needs SOME isometric split, and the Hermitian
+    square root is gauge-equivalent.  Rank-deficient (padded) directions
+    yield zero columns in Q and zero rows/cols in R, preserving the padded
+    convention.  One refinement pass keeps f32 orthogonality tight.
+    """
+    G = cpx.einsum("ji,jk->ik", M.conj(), M)
+    inv_sqrt, sqrt = hermitian_invsqrt(G, method=method)
+    Q = cpx.einsum("ij,jk->ik", M, inv_sqrt)
+    # refinement: Q <- Q (Q^H Q)^{-1/2}, fold correction into R
+    G2 = cpx.einsum("ji,jk->ik", Q.conj(), Q)
+    inv2, sq2 = hermitian_invsqrt(G2, method=method)
+    Q = cpx.einsum("ij,jk->ik", Q, inv2)
+    R = cpx.einsum("ij,jk->ik", sq2, sqrt)
+    return Q, R
+
+
 def csvd(theta: C, method: str = "auto"):
     """Batched complex SVD: theta [..., m, n] -> (U, S, Vh), S descending.
 
