@@ -1,0 +1,106 @@
+"""Parallelism tests: vmapped ensembles, mesh sharding, phase-grid batches.
+
+Runs on the virtual 8-device CPU mesh (conftest).  These are the
+multi-chip tests the reference has no analog of (SURVEY.md section 4
+implication: 'multi-chip tests for the vmap/pmap sweep paths').
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh
+
+from timecrystal_tpu.core.mps import create_initial_state
+from timecrystal_tpu.core.truncate import TruncParams
+from timecrystal_tpu.dynamics.tebd import CustomFloquet
+from timecrystal_tpu.models.kicked_ising import KickedIsingModel
+from timecrystal_tpu.parallel.sweep import (SweepSpec, _basis_indices,
+                                            disorder_ensemble, evolve_batch,
+                                            evolve_batch_sharded,
+                                            phase_grid_batch)
+
+TP = TruncParams(chi_max=0, svd_min=1e-12)
+
+
+def _spec(L=8, chi=16, n=6, theta=0.95 * float(np.pi)):
+    return SweepSpec(L=L, chi=chi, n_periods=n, theta=theta, tp=TP,
+                     dtype="float64")
+
+
+class TestBatchedEvolution:
+    def test_batch_matches_single(self):
+        """vmapped batch element == standalone CustomFloquet run."""
+        spec = _spec()
+        hf = np.stack([
+            np.random.RandomState(1).uniform(-0.3, 0.3, spec.L),
+            np.random.RandomState(2).uniform(-0.4, 0.4, spec.L),
+        ])
+        taus = jnp.asarray([1.0, 1.3])
+        basis = _basis_indices(spec.L, "neel")
+        tr = evolve_batch(jnp.asarray(hf), taus, jnp.asarray(basis), spec)
+
+        for k in range(2):
+            m = KickedIsingModel(spec.L, 1.0, 0.0, float(taus[k]),
+                                 h_fields=hf[k], theta=spec.theta,
+                                 chi=spec.chi, dtype=jnp.float64)
+            psi0 = create_initial_state(spec.L, "neel", chi=spec.chi,
+                                        dtype=jnp.float64)
+            ref, _, _ = CustomFloquet(m, TP).evolve_floquet_traces(psi0, spec.n_periods)
+            np.testing.assert_allclose(np.asarray(tr["sz_sites"])[k],
+                                       ref["sz_sites"], atol=1e-10)
+            np.testing.assert_allclose(np.asarray(tr["loschmidt_echo"])[k],
+                                       ref["loschmidt_echo"], atol=1e-10)
+
+    def test_sharded_matches_unsharded(self):
+        """8-device mesh sharding is numerically a no-op."""
+        assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+        spec = _spec(n=4)
+        R = 11  # deliberately not divisible by 8 (exercises padding)
+        rng = np.random.default_rng(0)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (R, spec.L)))
+        taus = jnp.asarray(rng.uniform(0.8, 1.5, R))
+        basis = jnp.asarray(_basis_indices(spec.L, "neel"))
+        ref = evolve_batch(hf, taus, basis, spec)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("batch",))
+        out = evolve_batch_sharded(hf, taus, basis, spec, mesh=mesh)
+        for k in ("sz_sites", "loschmidt_echo", "max_chi"):
+            np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                       atol=1e-12)
+
+    def test_disorder_ensemble_shapes(self):
+        spec = _spec(n=3)
+        tr = disorder_ensemble(jax.random.PRNGKey(5), 6, spec,
+                               h_disorder=0.3, tau=1.0)
+        assert np.asarray(tr["sz_sites"]).shape == (6, 4, spec.L)
+        assert np.asarray(tr["staggered_magnetization"]).shape == (6, 4)
+
+
+class TestPhaseGrid:
+    def test_reference_rng_semantics(self):
+        """Per-point disorder = h * SAME base pattern (reference re-seeds
+        np.random per point, main.py:318-324 + kicked_ising.py:55-59)."""
+        spec = _spec()
+        h_fields, taus, hs, Ts = phase_grid_batch([0.0, 0.2, 0.4], [2.0, 3.0],
+                                                  spec, disorder_seed=42)
+        h_fields = np.asarray(h_fields)
+        np.random.seed(42)
+        base = np.random.uniform(-1.0, 1.0, spec.L)
+        # row with h=0.4, any T: fields = 0.4 * base
+        idx = np.argwhere(np.isclose(hs, 0.4))[:, 0]
+        for i in idx:
+            np.testing.assert_allclose(h_fields[i], 0.4 * base, atol=1e-12)
+        # h=0 row: exactly zero fields (clean system)
+        idx0 = np.argwhere(np.isclose(hs, 0.0))[:, 0]
+        np.testing.assert_allclose(h_fields[idx0], 0.0, atol=0)
+        # tau = T_J / (2 J)
+        np.testing.assert_allclose(np.asarray(taus), Ts / 2.0, atol=1e-12)
+
+    def test_matches_reference_model_disorder(self):
+        """phase_grid_batch fields == KickedIsingModel(seed) fields."""
+        spec = _spec()
+        h_over_J = 0.35
+        h_fields, _, _, _ = phase_grid_batch([h_over_J], [2.0], spec,
+                                             disorder_seed=42)
+        m = KickedIsingModel(spec.L, 1.0, h_over_J, 1.0, disorder_seed=42)
+        np.testing.assert_allclose(np.asarray(h_fields)[0], m.h_fields,
+                                   atol=1e-12)

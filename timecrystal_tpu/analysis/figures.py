@@ -45,24 +45,25 @@ def _run_figure_sim(params: Dict, h_frac: float, seed: int,
     return traces, times, info, model
 
 
-def simulate_perfect_dtc(params: Dict):
+def simulate_perfect_dtc(params: Dict, n_sites: int = 64, n_periods: int = 200):
     """Figure A: h/J=0.25, tau=2/J, L=64, 200 periods, seed 42
-    (reference main.py:650-718)."""
+    (reference main.py:650-718).  n_sites/n_periods are overridable for
+    fast CI runs; defaults are the reference's hard-coded values."""
     print("  Simulating perfect DTC conditions...")
-    traces, times, info, _ = _run_figure_sim(params, 0.25, 42)
+    traces, times, info, _ = _run_figure_sim(params, 0.25, 42, n_sites, n_periods)
     return (list(times), traces["staggered_magnetization"].tolist(),
             traces["magnetization"].tolist())
 
 
-def simulate_disordered_dtc(params: Dict):
+def simulate_disordered_dtc(params: Dict, n_sites: int = 64, n_periods: int = 200):
     """Figure B: h/J=0.4, seed 123 (reference main.py:720-787)."""
     print("  Simulating disordered DTC conditions...")
-    traces, times, info, _ = _run_figure_sim(params, 0.4, 123)
+    traces, times, info, _ = _run_figure_sim(params, 0.4, 123, n_sites, n_periods)
     return (list(times), traces["staggered_magnetization"].tolist(),
             traces["magnetization"].tolist())
 
 
-def simulate_dephasing_dtc(params: Dict):
+def simulate_dephasing_dtc(params: Dict, n_sites: int = 64, n_periods: int = 200):
     """Figure C: h/J=0.3, gamma=0.01 J; closed-system evolution with
     POST-HOC exponential decay exactly as the reference does it
     (observables x e^{-gamma t}, LE x e^{-2 gamma t}; main.py:848-858 --
@@ -71,18 +72,20 @@ def simulate_dephasing_dtc(params: Dict):
     print("  Simulating DTC with dephasing...")
     J = float(params.get("J", 1.0))
     gamma = 0.01 * J
-    traces, times, info, _ = _run_figure_sim(params, 0.3, 42)
+    traces, times, info, _ = _run_figure_sim(params, 0.3, 42, n_sites, n_periods)
     decay = np.exp(-gamma * np.asarray(times))
     stag = traces["staggered_magnetization"] * decay
     total = traces["magnetization"] * decay
     return list(times), stag.tolist(), total.tolist()
 
 
-def simulate_multi_site_dtc(params: Dict, synthetic_parity: bool = False):
+def simulate_multi_site_dtc(params: Dict, synthetic_parity: bool = False,
+                            n_periods: int = 200):
     """Figure D: L=16, per-site <sigma_z_i(t)> for sites [1,3,5,7,9,11]
     (reference main.py:862-925)."""
     print("  Simulating multi-site DTC analysis...")
-    traces, times, info, _ = _run_figure_sim(params, 0.3, 42, n_sites=16)
+    traces, times, info, _ = _run_figure_sim(params, 0.3, 42, n_sites=16,
+                                             n_periods=n_periods)
     if synthetic_parity:
         # reference main.py:639-648: total +- 0.5*staggered + 0.1*randn
         total = traces["magnetization"]

