@@ -236,3 +236,57 @@ class TestTruncationPath:
         assert np.all(np.abs(traces["sz_sites"]) <= 1 + 1e-6)
         # truncation error is recorded and nonzero once chi saturates
         assert np.sum(traces["trunc_err"]) >= 0.0
+
+
+class TestPeriodicBC:
+    def test_periodic_matches_exact_dense(self):
+        """Periodic chain (swap-network boundary) vs dense statevector with
+        the periodic boundary term.  The reference's own periodic path
+        crashes (apply_local_op walks off the chain); ours is exact."""
+        import scipy.linalg
+        from tests.exact_reference import (_kron_at, product_statevector,
+                                           sz_expectations)
+        from timecrystal_tpu.core.mps import to_statevector
+
+        SZ = np.array([[1, 0], [0, -1]], dtype=complex)
+        SX = np.array([[0, 1], [1, 0]], dtype=complex)
+        I2 = np.eye(2, dtype=complex)
+        L, tau, theta = 6, 0.9, 0.85 * np.pi
+        np.random.seed(3)
+        hf = np.random.uniform(-0.3, 0.3, L)
+
+        half = np.eye(2**L, dtype=complex)
+        for b in range(L - 1):
+            Hb = (np.kron(SZ, SZ) + hf[b] * np.kron(SZ, I2)
+                  + hf[b + 1] * np.kron(I2, SZ))
+            half = _kron_at(scipy.linalg.expm(-1j * tau / 2 * Hb),
+                            [b, b + 1], L) @ half
+        Z0, ZL = _kron_at(SZ, [0], L), _kron_at(SZ, [L - 1], L)
+        Hb = ZL @ Z0 + hf[L - 1] * ZL + hf[0] * Z0
+        half = scipy.linalg.expm(-1j * tau / 2 * Hb) @ half
+        kick = np.eye(2**L, dtype=complex)
+        pulse = scipy.linalg.expm(-1j * theta / 2 * SX)
+        for s_ in range(L):
+            kick = _kron_at(pulse, [s_], L) @ kick
+        U = half @ kick @ half
+
+        m = KickedIsingModel(L, 1.0, 0.3, tau, bc="periodic", h_fields=hf,
+                             theta=theta, chi=16, dtype=DTYPE)
+        psi = M.create_initial_state(L, "neel", chi=16, dtype=DTYPE)
+        vec = product_statevector(neel_indices(L))
+        tp = TruncParams(svd_min=1e-14)
+        for _ in range(4):
+            psi = m.floquet_step(psi, tp)
+            vec = U @ vec
+        v_mps = M.to_statevector(psi)
+        assert abs(abs(np.vdot(vec, v_mps)) - 1.0) < 1e-10
+        np.testing.assert_allclose(sz_expectations(v_mps, L),
+                                   sz_expectations(vec, L), atol=1e-10)
+
+    def test_periodic_gate_count(self):
+        m = KickedIsingModel(8, 1.0, 0.2, 1.0, bc="periodic", disorder_seed=1)
+        assert m.boundary_gate is not None
+        # get_hamiltonian_terms includes the boundary gate (reference
+        # kicked_ising.py:92-98)
+        terms = m.get_hamiltonian_terms()
+        assert len(terms["ising_gates"]) == 8  # L-1 bulk + 1 boundary

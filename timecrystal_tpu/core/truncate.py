@@ -40,7 +40,7 @@ import numpy as np
 
 from ..ops import cpx
 from ..ops.cpx import C
-from ..ops.csvd import csvd
+from ..ops.csvd import csvd, csvd_topk
 from .mps import MPS
 
 
@@ -127,22 +127,23 @@ def apply_bond_gates(psi: MPS, gates: C, start: int, tp: TruncParams):
     theta = theta_tilde * lamL[:, :, None, None, None]
 
     M = theta.reshape(n, chi * d, d * chi)
-    _, S, Vh = csvd(M, method=tp.svd_method)  # S desc, [n, d*chi]
+    # top-chi truncated SVD: the padded-chi cap IS the truncation, so only
+    # the kept triplets are ever computed (on TPU this halves the eigh the
+    # whole period cost is dominated by -- see ops/csvd.csvd_topk)
+    S_top, Vh_top, disc_tail = csvd_topk(M, chi, method=tp.svd_method)
 
-    S_top = S[:, :chi]                         # keep top padded-chi values
     mask = truncation_mask(S_top, chi, tp)
     S_kept = jnp.where(mask, S_top, 0.0)
 
-    # discarded weight: everything masked out plus the S beyond padded chi
-    disc = (jnp.sum(jnp.where(mask, 0.0, S_top * S_top))
-            + jnp.sum(S[:, chi:] * S[:, chi:]))
+    # discarded weight: everything masked out plus the tail beyond padded chi
+    disc = jnp.sum(jnp.where(mask, 0.0, S_top * S_top)) + jnp.sum(disc_tail)
 
     nrm = jnp.sqrt(jnp.sum(S_kept * S_kept, axis=-1, keepdims=True))  # [n, 1]
     nrm = jnp.maximum(nrm, 1e-30)
     S_new = S_kept / nrm if tp.renormalize else S_kept
 
     mask_f = mask.astype(psi.dtype)
-    Vh_kept = Vh[:, :chi, :] * mask_f[:, :, None]   # C[n, chi, d*chi]
+    Vh_kept = Vh_top * mask_f[:, :, None]           # C[n, chi, d*chi]
     Br_new = Vh_kept.reshape(n, chi, d, chi)
 
     # Hastings: B_l_new = theta_tilde . V_kept  (columns masked via Vh_kept)
@@ -155,6 +156,44 @@ def apply_bond_gates(psi: MPS, gates: C, start: int, tp: TruncParams):
     B = cpx.at_set(cpx.at_set(psi.B, idx, Bl_new), idx + 1, Br_new)
     lam = psi.lam.at[idx + 1].set(S_new.astype(psi.lam.dtype))
     return MPS(B=B, lam=lam), disc.astype(psi.lam.dtype)
+
+
+@partial(jax.jit, static_argnames=("bond", "tp"))
+def apply_single_bond_gate(psi: MPS, gate: C, bond: int, tp: TruncParams):
+    """Apply one two-site gate at a single (static) bond.
+
+    Used by the periodic-BC swap network and sweeped algorithms; the batched
+    ``apply_bond_gates`` remains the hot path.  Returns (psi, disc)."""
+    L, chi, d, _ = psi.B.re.shape
+    Bl, Br = psi.B[bond], psi.B[bond + 1]
+    lamL = psi.lam[bond]
+    theta_tilde = cpx.einsum("apb,bqc->apqc", Bl, Br)
+    theta_tilde = cpx.einsum("pqrs,arsc->apqc", gate, theta_tilde)
+    theta = theta_tilde * lamL[:, None, None, None]
+    M = theta.reshape(chi * d, d * chi)
+    S_top, Vh_top, disc_tail = csvd_topk(M, chi, method=tp.svd_method)
+    mask = truncation_mask(S_top, chi, tp)
+    S_kept = jnp.where(mask, S_top, 0.0)
+    disc = jnp.sum(jnp.where(mask, 0.0, S_top * S_top)) + disc_tail
+    nrm = jnp.maximum(jnp.sqrt(jnp.sum(S_kept * S_kept)), 1e-30)
+    S_new = S_kept / nrm if tp.renormalize else S_kept
+    Vh_kept = Vh_top * mask[:, None].astype(psi.dtype)
+    Br_new = Vh_kept.reshape(chi, d, chi)
+    Mt = theta_tilde.reshape(chi * d, d * chi)
+    Bl_new = cpx.einsum("ij,kj->ik", Mt, Vh_kept.conj())
+    if tp.renormalize:
+        Bl_new = Bl_new * (1.0 / nrm)
+    Bl_new = Bl_new.reshape(chi, d, chi)
+    B = cpx.at_set(cpx.at_set(psi.B, bond, Bl_new), bond + 1, Br_new)
+    lam = psi.lam.at[bond + 1].set(S_new.astype(psi.lam.dtype))
+    return MPS(B=B, lam=lam), disc.astype(psi.lam.dtype)
+
+
+def swap_gate(d: int = 2, dtype=jnp.float32) -> C:
+    """SWAP gate [p, q, r, s] = delta_{p s} delta_{q r}."""
+    eye = jnp.eye(d, dtype=dtype)
+    re = jnp.einsum("ps,qr->pqrs", eye, eye)
+    return C(re, jnp.zeros_like(re))
 
 
 def apply_two_site_gate(psi: MPS, gate, i: int, j: int,

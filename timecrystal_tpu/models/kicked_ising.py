@@ -79,6 +79,32 @@ def floquet_period(psi: MPS, gates: FloquetGates, tp: TruncParams):
     return psi, e1 + e2 + e3 + e4
 
 
+def apply_boundary_gate_periodic(psi: MPS, boundary_gate, tp: TruncParams) -> MPS:
+    """Apply the (L-1, 0) boundary gate of a periodic chain via a swap
+    network: swap site 0 rightward to position L-2, apply the gate at the
+    last bond, swap back.  O(L) extra single-bond updates per application.
+
+    The reference's periodic path is broken (it calls TeNPy apply_local_op
+    at site L-1 with a two-site operator, walking off the finite chain --
+    SURVEY.md section 7 build note); this is the correct implementation.
+    ``boundary_gate`` must be built for the SWAPPED layout: left = original
+    site 0's field, right = original site L-1's field.
+    """
+    from ..core.truncate import apply_single_bond_gate, swap_gate
+
+    L = psi.L
+    if L <= 2:
+        psi, _ = apply_single_bond_gate(psi, boundary_gate, 0, tp)
+        return psi
+    sw = swap_gate(psi.d, psi.dtype)
+    for b in range(0, L - 2):          # site 0 -> position L-2
+        psi, _ = apply_single_bond_gate(psi, sw, b, tp)
+    psi, _ = apply_single_bond_gate(psi, boundary_gate, L - 2, tp)
+    for b in range(L - 3, -1, -1):     # swap back
+        psi, _ = apply_single_bond_gate(psi, sw, b, tp)
+    return psi
+
+
 def draw_disorder_reference(n_sites: int, h_disorder: float,
                             disorder_seed: int | None) -> np.ndarray:
     """Disorder fields with exact reference RNG parity (quirk 5)."""
@@ -128,9 +154,11 @@ class KickedIsingModel:
         if bc == "periodic":
             # The reference's periodic path is broken (apply_local_op at site
             # L-1 with a 2-site op walks off the chain); we implement it
-            # properly via a swap network (dynamics/tebd.py).  The boundary
-            # gate phases are precomputed here.
-            hb = jnp.asarray([self.h_fields[-1], self.h_fields[0]])
+            # properly via a swap network (apply_boundary_gate_periodic).
+            # The gate is built for the SWAPPED layout: after moving site 0
+            # next to site L-1 it sits on the LEFT, so the field order is
+            # (h_0, h_{L-1}).
+            hb = jnp.asarray([self.h_fields[0], self.h_fields[-1]])
             angles = G.ising_bond_phase_angles(self.J, hb, self.tau / 2.0)
             self.boundary_gate = G.phases_to_bond_gates(angles, dtype=dtype)[0]
         else:
@@ -139,9 +167,22 @@ class KickedIsingModel:
     # -- reference-parity surface ------------------------------------------
 
     def floquet_step(self, psi: MPS, trunc_params: dict | TruncParams | None = None) -> MPS:
-        """Apply one Floquet step (reference kicked_ising.py:100-126)."""
+        """Apply one Floquet step (reference kicked_ising.py:100-126).
+
+        Periodic BC applies the boundary bond once per Ising half-step via
+        the swap network (the reference intended the boundary gate inside
+        its even/odd loop, kicked_ising.py:92-98, but its call crashes)."""
         tp = trunc_params if isinstance(trunc_params, TruncParams) \
             else TruncParams.from_dict(trunc_params)
+        if self.bc == "periodic":
+            psi, _ = apply_bond_gates(psi, self.gates.bond_gates, start=0, tp=tp)
+            psi, _ = apply_bond_gates(psi, self.gates.bond_gates, start=1, tp=tp)
+            psi = apply_boundary_gate_periodic(psi, self.boundary_gate, tp)
+            psi = apply_one_site_gates(psi, self.gates.kick)
+            psi, _ = apply_bond_gates(psi, self.gates.bond_gates, start=0, tp=tp)
+            psi, _ = apply_bond_gates(psi, self.gates.bond_gates, start=1, tp=tp)
+            psi = apply_boundary_gate_periodic(psi, self.boundary_gate, tp)
+            return psi
         psi_new, _ = floquet_period(psi, self.gates, tp)
         return psi_new
 
