@@ -88,15 +88,40 @@ def sz_expectations(psi: np.ndarray, L: int) -> np.ndarray:
 
 
 def evolve_exact(L: int, J: float, h_fields: np.ndarray, tau: float,
-                 n_periods: int, basis_indices=None, theta: float = np.pi):
-    """Evolve and record (sz_sites [n+1, L], loschmidt [n+1])."""
+                 n_periods: int, basis_indices=None, theta: float = np.pi,
+                 backend: str = "auto"):
+    """Evolve and record (sz_sites [n+1, L], loschmidt [n+1]).
+
+    backend 'auto' uses the native C++ statevector oracle
+    (timecrystal_tpu/native) when it builds, falling back to the dense
+    NumPy unitary; both implement the reference's exact gate semantics.
+    """
     if basis_indices is None:
         basis_indices = neel_indices(L)
-    U = floquet_unitary(L, J, h_fields, tau, theta=theta)
     psi0 = product_statevector(basis_indices)
-    psi = psi0.copy()
-    sz = [sz_expectations(psi, L)]
+
+    native = None
+    if backend in ("auto", "native"):
+        try:
+            from timecrystal_tpu import native as native_mod
+            if native_mod.available():
+                native = native_mod
+        except Exception:
+            native = None
+        if backend == "native" and native is None:
+            raise RuntimeError("native oracle unavailable")
+
+    sz = [sz_expectations(psi0, L)]
     le = [1.0]
+    psi = psi0.copy()
+    if native is not None:
+        for _ in range(n_periods):
+            psi = native.ki_evolve_exact(psi, L, J, h_fields, tau, theta, 1)
+            sz.append(native.ki_sz_sites(psi, L))
+            le.append(abs(np.vdot(psi0, psi)) ** 2)
+        return np.array(sz), np.array(le)
+
+    U = floquet_unitary(L, J, h_fields, tau, theta=theta)
     for _ in range(n_periods):
         psi = U @ psi
         sz.append(sz_expectations(psi, L))
