@@ -135,3 +135,39 @@ class TestPhysicsCrossValidation:
             out[method], _, _ = CustomFloquet(m, tp).evolve_floquet_traces(psi0, n)
         np.testing.assert_allclose(out["native"]["sz_sites"],
                                    out["gram_eigh"]["sz_sites"], atol=1e-6)
+
+
+class TestPallasJacobi:
+    """Pallas one-sided Jacobi SVD kernel (interpret mode on CPU; the same
+    kernel runs compiled on TPU -- see ops/pallas/jacobi_svd.py)."""
+
+    def _check(self, M, sweeps=24, tol=1e-7):
+        from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_svd
+        th = _to_c(M)
+        U, S, Vh = jacobi_svd(th, n_sweeps=sweeps, interpret=True)
+        Un, Sn, Vhn = cpx.to_numpy(U), np.asarray(S), cpx.to_numpy(Vh)
+        s_ref = np.linalg.svd(M, compute_uv=False)
+        assert np.max(np.abs(Un @ np.diag(Sn) @ Vhn - M)) < tol
+        assert np.max(np.abs(Sn - s_ref)) < tol
+        assert np.max(np.abs(Vhn @ Vhn.conj().T - np.eye(M.shape[1]))) < tol
+
+    def test_random(self):
+        n = 32
+        self._check(RNG.normal(size=(n, n)) + 1j * RNG.normal(size=(n, n)))
+
+    def test_degenerate_rankdef(self):
+        n = 32
+        U0, _ = np.linalg.qr(RNG.normal(size=(n, n)) + 1j * RNG.normal(size=(n, n)))
+        V0, _ = np.linalg.qr(RNG.normal(size=(n, n)) + 1j * RNG.normal(size=(n, n)))
+        s = np.concatenate([np.full(8, 2.0), np.full(8, 1.0),
+                            np.geomspace(0.5, 1e-8, 12), np.zeros(4)])
+        self._check(U0 @ np.diag(s) @ V0.conj().T)
+
+    def test_batched(self):
+        from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_svd
+        B = np.stack([RNG.normal(size=(16, 16)) + 1j * RNG.normal(size=(16, 16))
+                      for _ in range(3)])
+        U, S, Vh = jacobi_svd(_to_c(B), n_sweeps=20, interpret=True)
+        for k in range(3):
+            s_ref = np.linalg.svd(B[k], compute_uv=False)
+            np.testing.assert_allclose(np.asarray(S)[k], s_ref, atol=1e-8)

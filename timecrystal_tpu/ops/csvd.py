@@ -363,10 +363,22 @@ def csvd_topk(theta: C, k: int, method: str = "auto", n_power: int = 2):
     if method == "auto":
         if jax.default_backend() == "cpu":
             method = "native"
-        elif 2 * k <= n and n >= 128:
-            method = "proj"
         else:
-            method = "gram_eigh"
+            # Measured on the axon TPU (L=40, chi=256 workload): the Pallas
+            # Jacobi kernel wins single-chain latency ~3x (grid-sequential
+            # per matrix, VMEM-resident, true-SVD accuracy) while the
+            # batched gram_eigh wins ensemble throughput ~1.4x (one big
+            # eigh amortizes its fixed cost over many matrices).
+            n_matrices = int(np.prod(theta.shape[:-2])) if theta.ndim > 2 else 1
+            method = "jacobi" if (n >= 256 and n_matrices <= 24) else "gram_eigh"
+
+    if method == "jacobi":
+        # Pallas one-sided Jacobi kernel (whole batch in one call)
+        from .pallas.jacobi_svd import jacobi_svd
+
+        U, S, Vh = jacobi_svd(theta)
+        disc = jnp.sum(S[..., k:] ** 2, axis=-1)
+        return (S[..., :k], C(Vh.re[..., :k, :], Vh.im[..., :k, :]), disc)
 
     def one(th):
         if method == "proj":
@@ -397,6 +409,10 @@ def csvd(theta: C, method: str = "auto"):
     """
     if method == "auto":
         method = "native" if jax.default_backend() == "cpu" else "gram_eigh"
+    if method == "jacobi":
+        from .pallas.jacobi_svd import jacobi_svd
+
+        return jacobi_svd(theta)
     if method == "native":
         fn = _svd_native
     elif method == "gram_eigh":

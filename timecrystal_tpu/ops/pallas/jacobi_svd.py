@@ -1,0 +1,160 @@
+"""One-sided complex Jacobi SVD as a Pallas TPU kernel.
+
+The blocked/parallel one-sided Jacobi from the BASELINE north star: the
+whole decomposition of one theta matrix runs INSIDE a single kernel with A
+and V resident in VMEM, eliminating the per-iteration dispatch overhead
+that dominates XLA's eigh on this backend (~150 ms per call regardless of
+size -- measured).  Unlike the Gram+eigh path it never squares the
+condition number (small sigma accurate to eps, not sqrt(eps)) and has no
+J-pairing step at all.
+
+Algorithm (validated against LAPACK in baselines/jacobi_prototype.py):
+columns in two halves L | R paired elementwise; each parallel step
+orthogonalizes all n/2 pairs with complex Givens rotations, then the
+pairing rotates by the classic tournament (circle) scheme, realized as
+static slices + concats on values (the arrangement returns to the original
+order after each full sweep of n-1 steps).  Fixed sweep count (quadratic
+convergence; 16 sweeps reach f32 machine precision on wide spectra,
+24 for f64 -- prototype-measured).
+
+Complex arithmetic is explicit (re, im) pairs (no complex dtypes on TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import cpx
+from ..cpx import C
+
+
+def _jacobi_kernel(n: int, n_sweeps: int):
+    k = n // 2
+
+    def rotate_and_cycle(L_re, L_im, R_re, R_im):
+        # pair statistics over rows
+        a = jnp.sum(L_re * L_re + L_im * L_im, axis=0)          # [k]
+        b = jnp.sum(R_re * R_re + R_im * R_im, axis=0)
+        c_re = jnp.sum(L_re * R_re + L_im * R_im, axis=0)       # conj(L).R
+        c_im = jnp.sum(L_re * R_im - L_im * R_re, axis=0)
+        absc = jnp.sqrt(c_re * c_re + c_im * c_im)
+        safe = absc > 1e-30
+        tau = jnp.where(safe, (b - a) / jnp.maximum(2 * absc, 1e-30), 0.0)
+        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau))
+        t = jnp.where(safe, t, 0.0)
+        cs = 1.0 / jnp.sqrt(1 + t * t)
+        sn = cs * t
+        ph_re = jnp.where(safe, c_re / jnp.maximum(absc, 1e-30), 1.0)
+        ph_im = jnp.where(safe, c_im / jnp.maximum(absc, 1e-30), 0.0)
+        # u' = cs u - sn conj(phase) v ; v' = sn phase u + cs v
+        w1_re, w1_im = sn * ph_re, -sn * ph_im
+        w2_re, w2_im = sn * ph_re, sn * ph_im
+
+        def rot(XL_re, XL_im, XR_re, XR_im):
+            u_re, u_im = XL_re, XL_im
+            XL_re = cs * u_re - (w1_re * XR_re - w1_im * XR_im)
+            XL_im = cs * u_im - (w1_re * XR_im + w1_im * XR_re)
+            XR_re = (w2_re * u_re - w2_im * u_im) + cs * XR_re
+            XR_im = (w2_re * u_im + w2_im * u_re) + cs * XR_im
+            return XL_re, XL_im, XR_re, XR_im
+
+        return rot
+
+    def cycle(L_, R_):
+        # tournament rotation: p=[p0, q0, p1..p_{k-2}], q=[q1.., p_{k-1}]
+        newL = jnp.concatenate([L_[:, :1], R_[:, :1], L_[:, 1:k - 1]], axis=1)
+        newR = jnp.concatenate([R_[:, 1:], L_[:, k - 1:]], axis=1)
+        return newL, newR
+
+    def kernel(th_re_ref, th_im_ref, A_re_ref, A_im_ref, V_re_ref, V_im_ref):
+        A_re_ref[:] = th_re_ref[:]
+        A_im_ref[:] = th_im_ref[:]
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1))
+        V_re_ref[:] = eye.astype(A_re_ref.dtype)
+        V_im_ref[:] = jnp.zeros((n, n), A_re_ref.dtype)
+
+        def step(t, _):
+            AL_re, AL_im = A_re_ref[:, :k], A_im_ref[:, :k]
+            AR_re, AR_im = A_re_ref[:, k:], A_im_ref[:, k:]
+            rot = rotate_and_cycle(AL_re, AL_im, AR_re, AR_im)
+            AL_re, AL_im, AR_re, AR_im = rot(AL_re, AL_im, AR_re, AR_im)
+            VL_re, VL_im = V_re_ref[:, :k], V_im_ref[:, :k]
+            VR_re, VR_im = V_re_ref[:, k:], V_im_ref[:, k:]
+            VL_re, VL_im, VR_re, VR_im = rot(VL_re, VL_im, VR_re, VR_im)
+            AL_re, AR_re = cycle_pair(AL_re, AR_re)
+            AL_im, AR_im = cycle_pair(AL_im, AR_im)
+            VL_re, VR_re = cycle_pair(VL_re, VR_re)
+            VL_im, VR_im = cycle_pair(VL_im, VR_im)
+            A_re_ref[:, :k], A_re_ref[:, k:] = AL_re, AR_re
+            A_im_ref[:, :k], A_im_ref[:, k:] = AL_im, AR_im
+            V_re_ref[:, :k], V_re_ref[:, k:] = VL_re, VR_re
+            V_im_ref[:, :k], V_im_ref[:, k:] = VL_im, VR_im
+            return 0
+
+        def cycle_pair(L_, R_):
+            return cycle(L_, R_)
+
+        jax.lax.fori_loop(0, n_sweeps * (n - 1), step, 0)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("n_sweeps", "interpret"))
+def jacobi_svd(theta: C, n_sweeps: int = 16, interpret: bool = False):
+    """Batched one-sided Jacobi SVD: theta C[B, m, n] -> (U, S, Vh).
+
+    S descending; U's columns for sigma ~ 0 are zero (padded convention).
+    """
+    squeeze = theta.ndim == 2
+    if squeeze:
+        theta = C(theta.re[None], theta.im[None])
+    Bn, m, n = theta.re.shape
+    assert n % 2 == 0
+
+    kernel = _jacobi_kernel(n, n_sweeps)
+    out_shape = [
+        jax.ShapeDtypeStruct((Bn, m, n), theta.dtype),
+        jax.ShapeDtypeStruct((Bn, m, n), theta.dtype),
+        jax.ShapeDtypeStruct((Bn, n, n), theta.dtype),
+        jax.ShapeDtypeStruct((Bn, n, n), theta.dtype),
+    ]
+    block_a = pl.BlockSpec((1, m, n), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    block_v = pl.BlockSpec((1, n, n), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def kernel3d(th_re, th_im, A_re, A_im, V_re, V_im):
+        kernel(th_re.at[0], th_im.at[0], A_re.at[0], A_im.at[0],
+               V_re.at[0], V_im.at[0])
+
+    A_re, A_im, V_re, V_im = pl.pallas_call(
+        kernel3d,
+        grid=(Bn,),
+        out_shape=out_shape,
+        in_specs=[block_a, block_a],
+        out_specs=[block_a, block_a, block_v, block_v],
+        interpret=interpret,
+    )(theta.re, theta.im)
+
+    A = C(A_re, A_im)
+    V = C(V_re, V_im)
+    S = jnp.sqrt(jnp.sum(cpx.abs2(A), axis=-2))          # [B, n]
+    order = jnp.argsort(-S, axis=-1)
+    S = jnp.take_along_axis(S, order, axis=-1)
+    A = C(jnp.take_along_axis(A.re, order[:, None, :], axis=-1),
+          jnp.take_along_axis(A.im, order[:, None, :], axis=-1))
+    V = C(jnp.take_along_axis(V.re, order[:, None, :], axis=-1),
+          jnp.take_along_axis(V.im, order[:, None, :], axis=-1))
+    inv = jnp.where(S > 1e-30, 1.0 / jnp.maximum(S, 1e-30), 0.0)
+    U = C(A.re * inv[:, None, :], A.im * inv[:, None, :])
+    Vh = V.conj().transpose(0, 2, 1)
+    if squeeze:
+        U, S, Vh = U[0], S[0], Vh[0]
+    return U, S, Vh
