@@ -36,6 +36,9 @@ TEST_MODULES = [
     "tests/test_application.py",
     "tests/test_parallel.py",
     "tests/test_performance.py",
+    "tests/test_golden_traces.py",
+    "tests/test_utils.py",
+    "tests/test_native.py",
 ]
 
 

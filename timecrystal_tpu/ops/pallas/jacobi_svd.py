@@ -35,14 +35,16 @@ from ..cpx import C
 
 
 def _jacobi_kernel(n: int, n_sweeps: int):
+    """Kernel over refs [G, m, n]: G matrices resident in VMEM at once,
+    rotations vectorized across them (the VPU has headroom at G=1)."""
     k = n // 2
 
     def rotate_and_cycle(L_re, L_im, R_re, R_im):
-        # pair statistics over rows
-        a = jnp.sum(L_re * L_re + L_im * L_im, axis=0)          # [k]
-        b = jnp.sum(R_re * R_re + R_im * R_im, axis=0)
-        c_re = jnp.sum(L_re * R_re + L_im * R_im, axis=0)       # conj(L).R
-        c_im = jnp.sum(L_re * R_im - L_im * R_re, axis=0)
+        # pair statistics over rows (axis=1); leading axis = matrix in block
+        a = jnp.sum(L_re * L_re + L_im * L_im, axis=1)          # [G, k]
+        b = jnp.sum(R_re * R_re + R_im * R_im, axis=1)
+        c_re = jnp.sum(L_re * R_re + L_im * R_im, axis=1)       # conj(L).R
+        c_im = jnp.sum(L_re * R_im - L_im * R_re, axis=1)
         absc = jnp.sqrt(c_re * c_re + c_im * c_im)
         safe = absc > 1e-30
         tau = jnp.where(safe, (b - a) / jnp.maximum(2 * absc, 1e-30), 0.0)
@@ -56,50 +58,53 @@ def _jacobi_kernel(n: int, n_sweeps: int):
         w1_re, w1_im = sn * ph_re, -sn * ph_im
         w2_re, w2_im = sn * ph_re, sn * ph_im
 
+        cs_b, w1_re_b, w1_im_b = cs[:, None, :], w1_re[:, None, :], w1_im[:, None, :]
+        w2_re_b, w2_im_b = w2_re[:, None, :], w2_im[:, None, :]
+
         def rot(XL_re, XL_im, XR_re, XR_im):
             u_re, u_im = XL_re, XL_im
-            XL_re = cs * u_re - (w1_re * XR_re - w1_im * XR_im)
-            XL_im = cs * u_im - (w1_re * XR_im + w1_im * XR_re)
-            XR_re = (w2_re * u_re - w2_im * u_im) + cs * XR_re
-            XR_im = (w2_re * u_im + w2_im * u_re) + cs * XR_im
+            XL_re = cs_b * u_re - (w1_re_b * XR_re - w1_im_b * XR_im)
+            XL_im = cs_b * u_im - (w1_re_b * XR_im + w1_im_b * XR_re)
+            XR_re = (w2_re_b * u_re - w2_im_b * u_im) + cs_b * XR_re
+            XR_im = (w2_re_b * u_im + w2_im_b * u_re) + cs_b * XR_im
             return XL_re, XL_im, XR_re, XR_im
 
         return rot
 
     def cycle(L_, R_):
         # tournament rotation: p=[p0, q0, p1..p_{k-2}], q=[q1.., p_{k-1}]
-        newL = jnp.concatenate([L_[:, :1], R_[:, :1], L_[:, 1:k - 1]], axis=1)
-        newR = jnp.concatenate([R_[:, 1:], L_[:, k - 1:]], axis=1)
+        newL = jnp.concatenate([L_[:, :, :1], R_[:, :, :1], L_[:, :, 1:k - 1]],
+                               axis=2)
+        newR = jnp.concatenate([R_[:, :, 1:], L_[:, :, k - 1:]], axis=2)
         return newL, newR
 
     def kernel(th_re_ref, th_im_ref, A_re_ref, A_im_ref, V_re_ref, V_im_ref):
+        G = A_re_ref.shape[0]
         A_re_ref[:] = th_re_ref[:]
         A_im_ref[:] = th_im_ref[:]
         eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
                == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1))
+        eye = jnp.broadcast_to(eye[None], (G, n, n))
         V_re_ref[:] = eye.astype(A_re_ref.dtype)
-        V_im_ref[:] = jnp.zeros((n, n), A_re_ref.dtype)
+        V_im_ref[:] = jnp.zeros((G, n, n), A_re_ref.dtype)
 
         def step(t, _):
-            AL_re, AL_im = A_re_ref[:, :k], A_im_ref[:, :k]
-            AR_re, AR_im = A_re_ref[:, k:], A_im_ref[:, k:]
+            AL_re, AL_im = A_re_ref[:, :, :k], A_im_ref[:, :, :k]
+            AR_re, AR_im = A_re_ref[:, :, k:], A_im_ref[:, :, k:]
             rot = rotate_and_cycle(AL_re, AL_im, AR_re, AR_im)
             AL_re, AL_im, AR_re, AR_im = rot(AL_re, AL_im, AR_re, AR_im)
-            VL_re, VL_im = V_re_ref[:, :k], V_im_ref[:, :k]
-            VR_re, VR_im = V_re_ref[:, k:], V_im_ref[:, k:]
+            VL_re, VL_im = V_re_ref[:, :, :k], V_im_ref[:, :, :k]
+            VR_re, VR_im = V_re_ref[:, :, k:], V_im_ref[:, :, k:]
             VL_re, VL_im, VR_re, VR_im = rot(VL_re, VL_im, VR_re, VR_im)
-            AL_re, AR_re = cycle_pair(AL_re, AR_re)
-            AL_im, AR_im = cycle_pair(AL_im, AR_im)
-            VL_re, VR_re = cycle_pair(VL_re, VR_re)
-            VL_im, VR_im = cycle_pair(VL_im, VR_im)
-            A_re_ref[:, :k], A_re_ref[:, k:] = AL_re, AR_re
-            A_im_ref[:, :k], A_im_ref[:, k:] = AL_im, AR_im
-            V_re_ref[:, :k], V_re_ref[:, k:] = VL_re, VR_re
-            V_im_ref[:, :k], V_im_ref[:, k:] = VL_im, VR_im
+            AL_re, AR_re = cycle(AL_re, AR_re)
+            AL_im, AR_im = cycle(AL_im, AR_im)
+            VL_re, VR_re = cycle(VL_re, VR_re)
+            VL_im, VR_im = cycle(VL_im, VR_im)
+            A_re_ref[:, :, :k], A_re_ref[:, :, k:] = AL_re, AR_re
+            A_im_ref[:, :, :k], A_im_ref[:, :, k:] = AL_im, AR_im
+            V_re_ref[:, :, :k], V_re_ref[:, :, k:] = VL_re, VR_re
+            V_im_ref[:, :, :k], V_im_ref[:, :, k:] = VL_im, VR_im
             return 0
-
-        def cycle_pair(L_, R_):
-            return cycle(L_, R_)
 
         jax.lax.fori_loop(0, n_sweeps * (n - 1), step, 0)
 
@@ -120,8 +125,19 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None, interpret: bool = False):
     squeeze = theta.ndim == 2
     if squeeze:
         theta = C(theta.re[None], theta.im[None])
-    Bn, m, n = theta.re.shape
+    Bn0, m, n = theta.re.shape
     assert n % 2 == 0
+
+    # matrices per grid step: VMEM budget ~16MB must hold A + V (+ aliased
+    # theta) blocks; 2 per step measured faster than 1 (VPU headroom)
+    per_mat_bytes = (2 * m * n + 2 * n * n) * np.dtype(theta.dtype).itemsize
+    G = max(1, min(Bn0, int((10 * 2**20) // max(per_mat_bytes, 1))))
+    G = min(G, 4)
+    pad = (-Bn0) % G
+    if pad:
+        theta = C(jnp.concatenate([theta.re, jnp.zeros((pad, m, n), theta.dtype)]),
+                  jnp.concatenate([theta.im, jnp.zeros((pad, m, n), theta.dtype)]))
+    Bn = Bn0 + pad
 
     kernel = _jacobi_kernel(n, n_sweeps)
     out_shape = [
@@ -130,23 +146,23 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None, interpret: bool = False):
         jax.ShapeDtypeStruct((Bn, n, n), theta.dtype),
         jax.ShapeDtypeStruct((Bn, n, n), theta.dtype),
     ]
-    block_a = pl.BlockSpec((1, m, n), lambda b: (b, 0, 0),
+    block_a = pl.BlockSpec((G, m, n), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
-    block_v = pl.BlockSpec((1, n, n), lambda b: (b, 0, 0),
+    block_v = pl.BlockSpec((G, n, n), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
-
-    def kernel3d(th_re, th_im, A_re, A_im, V_re, V_im):
-        kernel(th_re.at[0], th_im.at[0], A_re.at[0], A_im.at[0],
-               V_re.at[0], V_im.at[0])
 
     A_re, A_im, V_re, V_im = pl.pallas_call(
-        kernel3d,
-        grid=(Bn,),
+        kernel,
+        grid=(Bn // G,),
         out_shape=out_shape,
         in_specs=[block_a, block_a],
         out_specs=[block_a, block_a, block_v, block_v],
+        input_output_aliases={0: 0, 1: 1},
         interpret=interpret,
     )(theta.re, theta.im)
+    if pad:
+        A_re, A_im = A_re[:Bn0], A_im[:Bn0]
+        V_re, V_im = V_re[:Bn0], V_im[:Bn0]
 
     A = C(A_re, A_im)
     V = C(V_re, V_im)
