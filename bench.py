@@ -77,8 +77,7 @@ def run_batched(R: int, n_periods: int) -> float:
     cfg = CONFIG
     spec = SweepSpec(L=cfg["L"], chi=cfg["chi"], n_periods=n_periods,
                      theta=cfg["theta_frac"] * float(np.pi),
-                     tp=TruncParams(chi_max=0, svd_min=1e-7,
-                                    svd_method="gram_eigh"),
+                     tp=TruncParams(chi_max=0, svd_min=1e-7),
                      dtype="float32")
     basis = jnp.asarray(_basis_indices(cfg["L"], "neel"))
     h = draw_disorder_batch(jax.random.PRNGKey(cfg["seed"]), R, cfg["L"],

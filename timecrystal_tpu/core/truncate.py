@@ -49,7 +49,8 @@ class TruncParams(NamedTuple):
     svd_min: float = 1e-12
     trunc_cut: float = 0.0    # 0 => disabled
     renormalize: bool = True
-    svd_method: str = "auto"  # 'native' | 'gram_eigh' | 'auto' (see ops/csvd)
+    svd_method: str = "auto"  # 'native' | 'gram_eigh' | 'jacobi' | 'auto'
+    jacobi_sweeps: int = 0    # 0 = dtype default (ops/pallas/jacobi_svd)
 
     @classmethod
     def reference_hot_path(cls) -> "TruncParams":
@@ -67,6 +68,7 @@ class TruncParams(NamedTuple):
             trunc_cut=float(d.get("trunc_cut", 0.0) or 0.0),
             renormalize=bool(d.get("renormalize", True)),
             svd_method=str(d.get("svd_method", "auto")),
+            jacobi_sweeps=int(d.get("jacobi_sweeps", 0)),
         )
 
 
@@ -130,7 +132,8 @@ def apply_bond_gates(psi: MPS, gates: C, start: int, tp: TruncParams):
     # top-chi truncated SVD: the padded-chi cap IS the truncation, so only
     # the kept triplets are ever computed (on TPU this halves the eigh the
     # whole period cost is dominated by -- see ops/csvd.csvd_topk)
-    S_top, Vh_top, disc_tail = csvd_topk(M, chi, method=tp.svd_method)
+    S_top, Vh_top, disc_tail = csvd_topk(M, chi, method=tp.svd_method,
+                                         jacobi_sweeps=tp.jacobi_sweeps)
 
     mask = truncation_mask(S_top, chi, tp)
     S_kept = jnp.where(mask, S_top, 0.0)
@@ -171,7 +174,8 @@ def apply_single_bond_gate(psi: MPS, gate: C, bond: int, tp: TruncParams):
     theta_tilde = cpx.einsum("pqrs,arsc->apqc", gate, theta_tilde)
     theta = theta_tilde * lamL[:, None, None, None]
     M = theta.reshape(chi * d, d * chi)
-    S_top, Vh_top, disc_tail = csvd_topk(M, chi, method=tp.svd_method)
+    S_top, Vh_top, disc_tail = csvd_topk(M, chi, method=tp.svd_method,
+                                         jacobi_sweeps=tp.jacobi_sweeps)
     mask = truncation_mask(S_top, chi, tp)
     S_kept = jnp.where(mask, S_top, 0.0)
     disc = jnp.sum(jnp.where(mask, 0.0, S_top * S_top)) + disc_tail

@@ -353,30 +353,32 @@ def _csvd_topk_proj(theta: C, k: int, n_power: int = 2):
     return S, V.conj().transpose(), jnp.maximum(disc, 0.0)
 
 
-def csvd_topk(theta: C, k: int, method: str = "auto", n_power: int = 2):
+def csvd_topk(theta: C, k: int, method: str = "auto", n_power: int = 2,
+              jacobi_sweeps: int = 0):
     """Top-k truncated SVD: (S [.., k], Vh C[.., k, n], disc [..]).
 
-    method 'auto': full native SVD + slice on CPU; subspace projection on
-    TPU when k <= n/2 and the problem is large, else full gram_eigh.
+    method 'auto': full native SVD + slice on CPU; on TPU the Pallas Jacobi
+    kernel for small batches / the batched gram_eigh otherwise.
+    jacobi_sweeps: 0 = dtype default.
     """
     m, n = theta.shape[-2:]
     if method == "auto":
         if jax.default_backend() == "cpu":
             method = "native"
         else:
-            # Measured on the axon TPU (L=40, chi=256 workload): the Pallas
-            # Jacobi kernel wins single-chain latency ~3x (grid-sequential
-            # per matrix, VMEM-resident, true-SVD accuracy) while the
-            # batched gram_eigh wins ensemble throughput ~1.4x (one big
-            # eigh amortizes its fixed cost over many matrices).
-            n_matrices = int(np.prod(theta.shape[:-2])) if theta.ndim > 2 else 1
-            method = "jacobi" if (n >= 256 and n_matrices <= 24) else "gram_eigh"
+            # Measured on the axon TPU (L=40, chi=256 workload): at 6
+            # sweeps (sufficient for TEBD thetas, see jacobi_svd docstring)
+            # the Pallas Jacobi kernel beats the batched gram_eigh on BOTH
+            # single-chain latency (~6x) and vmapped-ensemble throughput
+            # (~2x); gram_eigh remains the default for small matrices
+            # where the eigh is cheap and batching amortizes it.
+            method = "jacobi" if n >= 256 else "gram_eigh"
 
     if method == "jacobi":
         # Pallas one-sided Jacobi kernel (whole batch in one call)
         from .pallas.jacobi_svd import jacobi_svd
 
-        U, S, Vh = jacobi_svd(theta)
+        U, S, Vh = jacobi_svd(theta, n_sweeps=jacobi_sweeps or None)
         disc = jnp.sum(S[..., k:] ** 2, axis=-1)
         return (S[..., :k], C(Vh.re[..., :k, :], Vh.im[..., :k, :]), disc)
 

@@ -116,12 +116,15 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None, interpret: bool = False):
     """Batched one-sided Jacobi SVD: theta C[B, m, n] -> (U, S, Vh).
 
     S descending; U's columns for sigma ~ 0 are zero (padded convention).
-    Default sweep count by dtype (prototype-measured convergence): 12 for
-    f32 (sigma error ~2e-5 rel, at the f32 noise floor), 24 for f64
-    (machine precision incl. degenerate/wide spectra).
+    Default sweep count by dtype: 6 for f32, 24 for f64.  TEBD thetas are
+    born nearly column-orthogonal (canonical form + near-diagonal gates;
+    measured off-diagonal Gram weight 0.08-0.23 on the physical workload,
+    where 4 sweeps already reach the f32 floor of 4e-6 trace error --
+    6 adds safety margin).  Worst-case RANDOM matrices need ~12 (f32) /
+    24 (f64) sweeps: pass n_sweeps explicitly for non-TEBD uses.
     """
     if n_sweeps is None:
-        n_sweeps = 24 if theta.dtype == jnp.float64 else 12
+        n_sweeps = 24 if theta.dtype == jnp.float64 else 6
     squeeze = theta.ndim == 2
     if squeeze:
         theta = C(theta.re[None], theta.im[None])
@@ -130,8 +133,11 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None, interpret: bool = False):
 
     # matrices per grid step: VMEM budget ~16MB must hold A + V (+ aliased
     # theta) blocks; 2 per step measured faster than 1 (VPU headroom)
+    # the kernel's working set is ~2x the resident blocks (value
+    # temporaries for the rotation/cycle); 17.75M observed at 8MB of
+    # blocks => budget 6MB of blocks against the 16MB scoped limit
     per_mat_bytes = (2 * m * n + 2 * n * n) * np.dtype(theta.dtype).itemsize
-    G = max(1, min(Bn0, int((10 * 2**20) // max(per_mat_bytes, 1))))
+    G = max(1, min(Bn0, int((6 * 2**20) // max(per_mat_bytes, 1))))
     G = min(G, 4)
     pad = (-Bn0) % G
     if pad:
