@@ -36,6 +36,7 @@ TEST_MODULES = [
     "tests/test_application.py",
     "tests/test_parallel.py",
     "tests/test_performance.py",
+    "tests/test_tebd_generic.py",
     "tests/test_golden_traces.py",
     "tests/test_utils.py",
     "tests/test_native.py",

@@ -21,7 +21,7 @@ import numpy as np
 from ..core.truncate import TruncParams
 from ..parallel.sweep import SweepSpec, evolve_batch, evolve_batch_sharded, \
     phase_grid_batch, _basis_indices
-from .detection import score_grid, score_phase_point
+from .detection import score_grid
 
 GRID_HARDCODED = dict(n_sites=16, n_periods=80, max_chi=24,
                       h_range=(0.0, 0.8), T_range=(0.8, 4.0),

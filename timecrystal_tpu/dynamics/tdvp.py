@@ -521,7 +521,6 @@ class TDVPFloquetEvolution:
 
     def _half_ising(self, psi: MPS) -> MPS:
         """TDVP integration of exp(-i tau/2 H_ising)."""
-        from ..core.mps import apply_one_site_gates  # noqa: F401 (doc aid)
         t_half = self.model.tau / 2.0
         n = max(1, int(round(t_half / self.dt)))
         saved_dt = self.engine.dt
@@ -593,8 +592,6 @@ def _product_neel(L: int, chi: int) -> MPS:
 
     return create_initial_state(L, "neel", chi=chi)
 
-
-from functools import partial as _partial  # noqa: E402
 
 _tdvp1_jit = jax.jit(tdvp1_step, static_argnames=("dt", "m"))
 _tdvp2_jit = jax.jit(tdvp2_step, static_argnames=("dt", "m", "tp"))

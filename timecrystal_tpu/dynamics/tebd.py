@@ -24,8 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import gates as G
-from ..core.mps import (MPS, apply_one_site_gates, bond_dimensions,
-                        entanglement_entropy, expectation_one_site, overlap)
+from ..core.mps import (MPS, bond_dimensions, entanglement_entropy,
+                        expectation_one_site, overlap)
 from ..core.truncate import TruncParams, apply_bond_gates
 from ..models.kicked_ising import FloquetGates, floquet_period
 from ..ops import cpx

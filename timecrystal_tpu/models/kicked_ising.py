@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import gates as G
-from ..core.mps import MPS, apply_one_site_gates, create_initial_state
+from ..core.mps import MPS, apply_one_site_gates
 from ..core.truncate import TruncParams, apply_bond_gates
 from ..ops.cpx import C
 

@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import gates as G
-from ..core.mps import (MPS, bond_dimensions, entanglement_entropy,
+from ..core.mps import (bond_dimensions, entanglement_entropy,
                         expectation_one_site, overlap, product_state)
 from ..core.truncate import TruncParams
 from ..models.kicked_ising import make_floquet_gates
