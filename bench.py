@@ -92,6 +92,8 @@ def run_batched(R: int, n_periods: int) -> float:
 
 
 def main() -> None:
+    from timecrystal_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     # device-tunnel timing is noisy: best of 3 repeats per metric
     single = max(run_single(N_PERIODS_SINGLE) for _ in range(3))
     aggregate = max(run_batched(BATCH_R, N_PERIODS_BATCH) for _ in range(3))

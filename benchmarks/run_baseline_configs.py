@@ -29,6 +29,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from timecrystal_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from timecrystal_tpu.core.mps import create_initial_state
     from timecrystal_tpu.core import observables as obs
     from timecrystal_tpu.core.truncate import TruncParams

@@ -86,8 +86,10 @@ def main() -> None:
     print("TIME CRYSTAL PHYSICS - UNIFIED FIGURE GENERATION (TPU)")
     print("=" * 60)
 
+    from timecrystal_tpu.utils.cache import enable_compilation_cache
     from timecrystal_tpu.utils.config import read_parameters
 
+    enable_compilation_cache()
     params = read_parameters(args.config)
     if not params:
         print("Failed to read parameters file.")
