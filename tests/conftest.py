@@ -18,3 +18,9 @@ import jax  # noqa: E402
 # The axon TPU plugin ignores JAX_PLATFORMS; the config update is honored.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: TDVP/scan programs compile once across
+# test sessions
+from timecrystal_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -24,6 +24,7 @@ form the rest of the framework assumes.
 from __future__ import annotations
 
 import time
+from functools import partial
 from typing import Dict, List, NamedTuple, Tuple
 
 import jax
@@ -244,57 +245,91 @@ def _split_right_diag(Cc: C, tol_rel: float = 1e-14):
     return Cbond, jnp.where(ok, s, 0.0), B.reshape(chi, d, chi)
 
 
+def _right_envs(psi: MPS, W: C, Dw: int):
+    """Stacked right environments: R_of[i] covers sites i..L-1, [L+1, ...]
+    with R_of[L] = edge.  One reverse lax.scan (compile cost L-independent)."""
+    chi = psi.chi
+    edge = _right_edge(Dw, chi, psi.dtype)
+
+    def step(R, xs):
+        B_i, W_i = xs
+        Rp = _update_right(R, B_i, W_i)
+        return Rp, Rp
+
+    _, stacked = jax.lax.scan(step, edge, (psi.B, W), reverse=True)
+    # stacked[i] covers sites i..L-1; append the edge as R_of[L]
+    return C(jnp.concatenate([stacked.re, edge.re[None]]),
+             jnp.concatenate([stacked.im, edge.im[None]]))
+
+
+@partial(jax.jit, static_argnames=("dt", "m"))
 def tdvp1_step(psi: MPS, mpo: MPO, dt: float, m: int) -> MPS:
-    """One symmetric single-site TDVP step (L->R then R->L, dt/2 each)."""
+    """One symmetric single-site TDVP step (L->R then R->L, dt/2 each).
+
+    Both half sweeps are ``lax.scan`` over sites, so compile time does not
+    grow with L (the first implementation unrolled the site loops; L=64
+    compiles took minutes)."""
     L, chi, d, _ = psi.B.re.shape
     W = mpo.W
     Dw = mpo.Dw
     dtype = psi.dtype
 
-    Renvs = [None] * (L + 1)
-    Renvs[L] = _right_edge(Dw, chi, dtype)
-    for i in range(L - 1, -1, -1):
-        Renvs[i] = _update_right(Renvs[i + 1], psi.B[i], W[i])
+    R_of = _right_envs(psi, W, Dw)           # [L+1, Dw, chi, chi]
+    L_edge = _left_edge(Dw, chi, dtype)
+    R_edge = _right_edge(Dw, chi, dtype)
 
-    Lenvs = [None] * (L + 1)
-    Lenvs[0] = _left_edge(Dw, chi, dtype)
+    # --- left-to-right half sweep (dt/2) over sites 0..L-2
+    Cc0 = psi.B[0] * psi.lam[0][:, None, None]
 
-    # --- left-to-right half sweep (dt/2)
-    A_list = [None] * L
-    Cc = psi.B[0] * psi.lam[0][:, None, None]
-    for i in range(L):
-        mv = lambda v, i=i: _h1_matvec(Lenvs[i], W[i], Renvs[i + 1], v)
+    def lr_step(carry, xs):
+        Lenv, Cc = carry
+        W_i, R_next, B_next = xs
+        mv = lambda v: _h1_matvec(Lenv, W_i, R_next, v)
         Cc = lanczos_expm_apply(mv, Cc, dt / 2, m, sign=-1.0)
-        if i < L - 1:
-            Q, R = cqr_tall(Cc.reshape(chi * d, chi))
-            A_list[i] = Q.reshape(chi, d, chi)
-            Lenvs[i + 1] = _update_left(Lenvs[i], A_list[i], W[i])
-            mv0 = lambda c, i=i: _h0_matvec(Lenvs[i + 1], Renvs[i + 1], c)
-            R = lanczos_expm_apply(mv0, R, dt / 2, m, sign=+1.0)
-            Cc = cpx.einsum("ab,bqc->aqc", R, psi.B[i + 1])
-        else:
-            A_list[i] = None  # center stays at the last site
+        Q, Rb = cqr_tall(Cc.reshape(chi * d, chi))
+        A_i = Q.reshape(chi, d, chi)
+        Lenv2 = _update_left(Lenv, A_i, W_i)
+        mv0 = lambda c: _h0_matvec(Lenv2, R_next, c)
+        Rb = lanczos_expm_apply(mv0, Rb, dt / 2, m, sign=+1.0)
+        Cc2 = cpx.einsum("ab,bqc->aqc", Rb, B_next)
+        return (Lenv2, Cc2), (A_i, Lenv2)
 
-    # --- right-to-left half sweep (dt/2)
-    B_new = [None] * L
-    lam_new = psi.lam
-    Renv = _right_edge(Dw, chi, dtype)
-    for i in range(L - 1, -1, -1):
-        mv = lambda v, i=i, R=Renv: _h1_matvec(Lenvs[i], W[i], R, v)
+    (Lenv_last, Cc), (A_stack, Lenv_stack) = jax.lax.scan(
+        lr_step, (L_edge, Cc0), (W[: L - 1], R_of[1:L], psi.B[1:]))
+    # last site: forward dt/2 only (center stays here for the return sweep)
+    mv = lambda v: _h1_matvec(Lenv_last, W[L - 1], R_edge, v)
+    Cc = lanczos_expm_apply(mv, Cc, dt / 2, m, sign=-1.0)
+
+    # Lenvs[i] = env strictly left of site i, i = 0..L-1
+    Lenvs = C(jnp.concatenate([L_edge.re[None], Lenv_stack.re]),
+              jnp.concatenate([L_edge.im[None], Lenv_stack.im]))
+
+    # --- right-to-left half sweep (dt/2) over sites L-1..1
+    def rl_step(carry, xs):
+        Renv, Cc = carry
+        W_i, Lenv_i, A_prev = xs
+        mv = lambda v: _h1_matvec(Lenv_i, W_i, Renv, v)
         Cc = lanczos_expm_apply(mv, Cc, dt / 2, m, sign=-1.0)
-        if i > 0:
-            Cbond, s, B_new[i] = _split_right_diag(Cc)
-            lam_new = lam_new.at[i].set(s.astype(lam_new.dtype))
-            Renv = _update_right(Renv, B_new[i], W[i])
-            mv0 = lambda c, i=i, R=Renv: _h0_matvec(Lenvs[i], R, c)
-            Cbond = lanczos_expm_apply(mv0, Cbond, dt / 2, m, sign=+1.0)
-            Cc = cpx.einsum("apb,bc->apc", A_list[i - 1], Cbond)
-        else:
-            B_new[0] = Cc  # trivial left bond: C_0 is already B-form
-    B = cpx.stack(B_new, axis=0)
+        Cbond, s, B_i = _split_right_diag(Cc)
+        Renv2 = _update_right(Renv, B_i, W_i)
+        mv0 = lambda c: _h0_matvec(Lenv_i, Renv2, c)
+        Cbond = lanczos_expm_apply(mv0, Cbond, dt / 2, m, sign=+1.0)
+        Cc2 = cpx.einsum("apb,bc->apc", A_prev, Cbond)
+        return (Renv2, Cc2), (B_i, s)
+
+    (Renv_f, Cc), (B_stack, s_stack) = jax.lax.scan(
+        rl_step, (R_edge, Cc), (W[1:], Lenvs[1:], A_stack), reverse=True)
+    # site 0: final forward dt/2; trivial left bond makes Cc the new B_0
+    mv = lambda v: _h1_matvec(L_edge, W[0], Renv_f, v)
+    Cc = lanczos_expm_apply(mv, Cc, dt / 2, m, sign=-1.0)
+
+    B = C(jnp.concatenate([Cc.re[None], B_stack.re]),
+          jnp.concatenate([Cc.im[None], B_stack.im]))
+    lam_new = psi.lam.at[1:L].set(s_stack.astype(psi.lam.dtype))
     return MPS(B=B, lam=lam_new)
 
 
+@partial(jax.jit, static_argnames=("dt", "m", "tp"))
 def tdvp2_step(psi: MPS, mpo: MPO, dt: float, m: int, tp: TruncParams):
     """One symmetric two-site TDVP step with SVD truncation.
 
@@ -303,15 +338,6 @@ def tdvp2_step(psi: MPS, mpo: MPO, dt: float, m: int, tp: TruncParams):
     W = mpo.W
     Dw = mpo.Dw
     dtype = psi.dtype
-
-    Renvs = [None] * (L + 1)
-    Renvs[L] = _right_edge(Dw, chi, dtype)
-    for i in range(L - 1, -1, -1):
-        Renvs[i] = _update_right(Renvs[i + 1], psi.B[i], W[i])
-    Lenvs = [None] * (L + 1)
-    Lenvs[0] = _left_edge(Dw, chi, dtype)
-
-    trunc_acc = jnp.zeros((), dtype)
 
     def split_theta(theta):
         Mth = theta.reshape(chi * d, d * chi)
@@ -327,43 +353,63 @@ def tdvp2_step(psi: MPS, mpo: MPO, dt: float, m: int, tp: TruncParams):
         Br = (Vh[:chi, :] * mf[:, None]).reshape(chi, d, chi)
         return A, S_k, Br, disc
 
-    # --- left-to-right
-    A_list = [None] * L
-    lam_new = psi.lam
-    Cc = psi.B[0] * psi.lam[0][:, None, None]
-    for i in range(L - 1):
-        theta = cpx.einsum("apb,bqc->apqc", Cc, psi.B[i + 1])
-        mv2 = lambda v, i=i: _h2_matvec(Lenvs[i], W[i], W[i + 1], Renvs[i + 2], v)
-        theta = lanczos_expm_apply(mv2, theta, dt / 2, m, sign=-1.0)
-        A, S_k, Br, disc = split_theta(theta)
-        trunc_acc = trunc_acc + disc
-        A_list[i] = A
-        lam_new = lam_new.at[i + 1].set(S_k.astype(lam_new.dtype))
-        Lenvs[i + 1] = _update_left(Lenvs[i], A, W[i])
-        Cc = Br * S_k[:, None, None]
-        if i < L - 2:
-            mv1 = lambda v, i=i: _h1_matvec(Lenvs[i + 1], W[i + 1], Renvs[i + 2], v)
-            Cc = lanczos_expm_apply(mv1, Cc, dt / 2, m, sign=+1.0)
+    # Both half sweeps as lax.scan over the L-1 bonds (compile cost
+    # L-independent).  The "skip the back-evolution on the boundary
+    # iteration" conditionals of the textbook algorithm become a
+    # where-select on an always-computed back-evolution (its cost -- m
+    # one-site matvecs -- is small next to the two-site work).
+    R_of = _right_envs(psi, W, Dw)
+    L_edge = _left_edge(Dw, chi, dtype)
+    R_edge = _right_edge(Dw, chi, dtype)
+    Cc0 = psi.B[0] * psi.lam[0][:, None, None]
 
-    # --- right-to-left (center sits at site i+1 entering iteration i)
-    B_new = [None] * L
-    Renv = _right_edge(Dw, chi, dtype)
-    for i in range(L - 2, -1, -1):
-        theta = cpx.einsum("apm,mqb->apqb", A_list[i], Cc)
-        mv2 = lambda v, i=i, R=Renv: _h2_matvec(Lenvs[i], W[i], W[i + 1], R, v)
+    def lr_step(carry, xs):
+        Lenv, Cc = carry
+        W_i, W_n, R_next2, B_next, back = xs
+        theta = cpx.einsum("apb,bqc->apqc", Cc, B_next)
+        mv2 = lambda v: _h2_matvec(Lenv, W_i, W_n, R_next2, v)
         theta = lanczos_expm_apply(mv2, theta, dt / 2, m, sign=-1.0)
         A, S_k, Br, disc = split_theta(theta)
-        trunc_acc = trunc_acc + disc
-        B_new[i + 1] = Br
-        lam_new = lam_new.at[i + 1].set(S_k.astype(lam_new.dtype))
-        Renv = _update_right(Renv, Br, W[i + 1])
-        Cc = A * S_k[None, None, :]
-        if i > 0:
-            mv1 = lambda v, i=i, R=Renv: _h1_matvec(Lenvs[i], W[i], R, v)
-            Cc = lanczos_expm_apply(mv1, Cc, dt / 2, m, sign=+1.0)
-    B_new[0] = Cc
-    B = cpx.stack(B_new, axis=0)
-    return MPS(B=B, lam=lam_new), trunc_acc
+        Lenv2 = _update_left(Lenv, A, W_i)
+        Cc2 = Br * S_k[:, None, None]
+        mv1 = lambda v: _h1_matvec(Lenv2, W_n, R_next2, v)
+        Cc_back = lanczos_expm_apply(mv1, Cc2, dt / 2, m, sign=+1.0)
+        Cc2 = cpx.where(back, Cc_back, Cc2)
+        return (Lenv2, Cc2), (A, Lenv2, disc)
+
+    backs = jnp.arange(L - 1) < (L - 2)
+    (Lenv_last, Cc), (A_stack, Lenv_stack, disc_lr) = jax.lax.scan(
+        lr_step, (L_edge, Cc0),
+        (W[: L - 1], W[1:], R_of[2:], psi.B[1:], backs))
+
+    Lenvs = C(jnp.concatenate([L_edge.re[None], Lenv_stack.re[:-1]]),
+              jnp.concatenate([L_edge.im[None], Lenv_stack.im[:-1]]))
+    # Lenvs[i] = env strictly left of site i, for i = 0..L-2
+
+    def rl_step(carry, xs):
+        Renv, Cc = carry
+        W_i, W_n, Lenv_i, A_i, back = xs
+        theta = cpx.einsum("apm,mqb->apqb", A_i, Cc)
+        mv2 = lambda v: _h2_matvec(Lenv_i, W_i, W_n, Renv, v)
+        theta = lanczos_expm_apply(mv2, theta, dt / 2, m, sign=-1.0)
+        A, S_k, Br, disc = split_theta(theta)
+        Renv2 = _update_right(Renv, Br, W_n)
+        Cc2 = A * S_k[None, None, :]
+        mv1 = lambda v: _h1_matvec(Lenv_i, W_i, Renv2, v)
+        Cc_back = lanczos_expm_apply(mv1, Cc2, dt / 2, m, sign=+1.0)
+        Cc2 = cpx.where(back, Cc_back, Cc2)
+        return (Renv2, Cc2), (Br, S_k, disc)
+
+    backs_rl = jnp.arange(L - 1) > 0
+    (Renv_f, Cc), (B_stack, s_stack, disc_rl) = jax.lax.scan(
+        rl_step, (R_edge, Cc),
+        (W[: L - 1], W[1:], Lenvs, A_stack, backs_rl), reverse=True)
+
+    B = C(jnp.concatenate([Cc.re[None], B_stack.re]),
+          jnp.concatenate([Cc.im[None], B_stack.im]))
+    lam_new = psi.lam.at[1:L].set(s_stack.astype(psi.lam.dtype))
+    trunc_acc = jnp.sum(disc_lr) + jnp.sum(disc_rl)
+    return MPS(B=B, lam=lam_new), trunc_acc.astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -593,5 +639,6 @@ def _product_neel(L: int, chi: int) -> MPS:
     return create_initial_state(L, "neel", chi=chi)
 
 
-_tdvp1_jit = jax.jit(tdvp1_step, static_argnames=("dt", "m"))
-_tdvp2_jit = jax.jit(tdvp2_step, static_argnames=("dt", "m", "tp"))
+# the step functions are themselves jitted (static dt/m/tp)
+_tdvp1_jit = tdvp1_step
+_tdvp2_jit = tdvp2_step
