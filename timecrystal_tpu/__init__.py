@@ -8,3 +8,17 @@ ensembles and shard_map phase-diagram sweeps over device meshes.
 """
 
 __version__ = "0.1.0"
+
+# Convenience top-level API (deep imports remain the canonical paths)
+from .core.mps import MPS, create_initial_state  # noqa: E402,F401
+from .core.truncate import TruncParams  # noqa: E402,F401
+from .dynamics.tebd import CustomFloquet, TEBDEvolution  # noqa: E402,F401
+from .dynamics.tdvp import TDVPEvolution, TDVPFloquetEvolution  # noqa: E402,F401
+from .dynamics.open_system import LindbladEvolution, OpenSystemEvolution  # noqa: E402,F401
+from .models.kicked_ising import KickedIsingModel  # noqa: E402,F401
+
+__all__ = [
+    "MPS", "create_initial_state", "TruncParams", "CustomFloquet",
+    "TEBDEvolution", "TDVPEvolution", "TDVPFloquetEvolution",
+    "LindbladEvolution", "OpenSystemEvolution", "KickedIsingModel",
+]
