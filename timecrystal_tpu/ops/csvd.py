@@ -5,7 +5,9 @@ dtypes nor ``lax.linalg.svd`` (UNIMPLEMENTED for float32 and complex64 --
 verified empirically; only real eigh/qr/cholesky/matmul exist).  This module
 provides the truncated-SVD primitive the TEBD two-site update needs
 (SURVEY.md section 2.2 "implicit native kernels": LAPACK gesdd inside
-TeNPy), with two interchangeable backends:
+TeNPy), with interchangeable backends ('native', 'gram_eigh',
+'gram_eigh_gs', 'jacobi' -- see ``csvd``/``csvd_topk``); the two
+eigh-based ones:
 
   * ``method='native'`` -- pack (re, im) pairs into a complex dtype and call
     ``jnp.linalg.svd`` (LAPACK).  Used on CPU, including the float64
@@ -27,8 +29,9 @@ TeNPy), with two interchangeable backends:
          ~sqrt(eps_f32)*sigma_max are resolution-limited -- they sit below
          any physical truncation cutoff used here).
 
-A Pallas one-sided Jacobi kernel (ops/pallas/) can replace gram_eigh where
-higher small-sigma accuracy on TPU is needed.
+The Pallas one-sided Jacobi kernel (ops/pallas/jacobi_svd.py) is the
+default on TPU for n >= 256: true-SVD accuracy (no Gram squaring, no
+pairing step) and the fastest measured path on the TEBD workload.
 """
 
 from __future__ import annotations

@@ -14,8 +14,8 @@ orthogonalizes all n/2 pairs with complex Givens rotations, then the
 pairing rotates by the classic tournament (circle) scheme, realized as
 static slices + concats on values (the arrangement returns to the original
 order after each full sweep of n-1 steps).  Fixed sweep count (quadratic
-convergence; 16 sweeps reach f32 machine precision on wide spectra,
-24 for f64 -- prototype-measured).
+convergence); see ``jacobi_svd`` for the dtype- and workload-dependent
+sweep defaults.
 
 Complex arithmetic is explicit (re, im) pairs (no complex dtypes on TPU).
 """
@@ -133,11 +133,12 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None, interpret: bool = False):
 
     # matrices per grid step: VMEM budget ~16MB must hold A + V (+ aliased
     # theta) blocks; 2 per step measured faster than 1 (VPU headroom)
-    # the kernel's working set is ~2x the resident blocks (value
-    # temporaries for the rotation/cycle); 17.75M observed at 8MB of
-    # blocks => budget 6MB of blocks against the 16MB scoped limit
-    per_mat_bytes = (2 * m * n + 2 * n * n) * np.dtype(theta.dtype).itemsize
-    G = max(1, min(Bn0, int((6 * 2**20) // max(per_mat_bytes, 1))))
+    # resident blocks: theta(in) + A + V per matrix; the scoped VMEM limit
+    # is raised via CompilerParams (v5e has far more than the 16MB default;
+    # a 24MB-block probe compiled and ran with vmem_limit_bytes=100MB).
+    # Working set is ~2x blocks (rotation/cycle value temporaries).
+    per_mat_bytes = (4 * m * n + 2 * n * n) * np.dtype(theta.dtype).itemsize
+    G = max(1, min(Bn0, int((40 * 2**20) // max(per_mat_bytes, 1))))
     G = min(G, 4)
     pad = (-Bn0) % G
     if pad:
@@ -164,6 +165,8 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None, interpret: bool = False):
         in_specs=[block_a, block_a],
         out_specs=[block_a, block_a, block_v, block_v],
         input_output_aliases={0: 0, 1: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(theta.re, theta.im)
     if pad:
