@@ -34,6 +34,12 @@ CONFIG = dict(L=40, chi=256, theta_frac=0.9, h=0.3, tau=1.0, seed=42)
 N_PERIODS_SINGLE = 20
 N_PERIODS_BATCH = 10
 BATCH_R = 2
+if os.environ.get("TCT_BENCH_QUICK"):
+    # contract smoke mode (tests/test_tpu_smoke.py): tiny shapes, same
+    # code path and output format
+    CONFIG = dict(L=12, chi=32, theta_frac=0.9, h=0.3, tau=1.0, seed=42)
+    N_PERIODS_SINGLE = 5
+    N_PERIODS_BATCH = 3
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baselines", "baseline_cpu.json")
 BASELINE_KEY = "L40_chi256_theta0.9pi"
@@ -57,10 +63,13 @@ def run_single(n_periods: int) -> float:
     psi0 = create_initial_state(cfg["L"], "neel", chi=cfg["chi"],
                                 dtype=jnp.float32)
     tp = TruncParams(chi_max=0, svd_min=1e-7)
-    _, tr = evolve_floquet_scan(psi0, gates, 2, tp)      # warmup/compile
+    # half-step merged frame: one Ising sweep per period instead of two;
+    # sz/staggered/LE traces are EXACTLY the strict-frame values
+    # (models/kicked_ising.floquet_period_merged -- verified to 1e-14 in f64)
+    _, tr = evolve_floquet_scan(psi0, gates, 2, tp, frame="merged")  # warmup
     np.asarray(tr["loschmidt_echo"])
     t0 = time.time()
-    _, tr = evolve_floquet_scan(psi0, gates, n_periods, tp)
+    _, tr = evolve_floquet_scan(psi0, gates, n_periods, tp, frame="merged")
     np.asarray(tr["loschmidt_echo"])
     return n_periods / (time.time() - t0)
 
@@ -78,7 +87,7 @@ def run_batched(R: int, n_periods: int) -> float:
     spec = SweepSpec(L=cfg["L"], chi=cfg["chi"], n_periods=n_periods,
                      theta=cfg["theta_frac"] * float(np.pi),
                      tp=TruncParams(chi_max=0, svd_min=1e-7),
-                     dtype="float32")
+                     dtype="float32", frame="merged")
     basis = jnp.asarray(_basis_indices(cfg["L"], "neel"))
     h = draw_disorder_batch(jax.random.PRNGKey(cfg["seed"]), R, cfg["L"],
                             cfg["h"])

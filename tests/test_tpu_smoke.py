@@ -1,0 +1,163 @@
+"""On-TPU smoke tier: the COMPILED (non-interpret) kernel paths.
+
+The main suite forces the CPU backend (tests/conftest.py) for float64
+parity gates and the virtual 8-device mesh, so the TPU-default code paths
+-- the compiled Pallas Jacobi kernel, the gram_eigh auto selection, the f32
+precision='highest' end-to-end error -- would otherwise only be exercised
+by bench.py and manual runs.  These tests spawn fresh subprocesses that
+initialize the default (TPU) platform and assert on JSON results printed
+by the child.  Skipped automatically when no TPU-like backend is attached.
+
+Thresholds come from measured behavior on the axon TPU v5e (see
+PERFORMANCE.md): per-SVD S error ~1e-5 relative at the adaptive-exit
+default, end-to-end trace error ~1e-5 class over tens of periods.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_child(code: str, timeout: int = 560, env_extra: dict | None = None):
+    """Run `code` in a fresh interpreter using the DEFAULT jax platform
+    (no forced CPU); returns the last JSON line of stdout."""
+    env = dict(os.environ)
+    # do not inherit the test session's CPU forcing, if any
+    env.pop("XLA_FLAGS", None)
+    if env_extra:
+        env.update(env_extra)
+    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                          text=True, cwd=REPO, env=env, timeout=timeout)
+    assert proc.returncode == 0, (
+        f"child failed rc={proc.returncode}\nstdout:{proc.stdout[-2000:]}"
+        f"\nstderr:{proc.stderr[-3000:]}")
+    lines = [ln for ln in proc.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert lines, f"no JSON line in child stdout: {proc.stdout[-2000:]}"
+    return json.loads(lines[-1])
+
+
+def _tpu_platform() -> str:
+    out = _run_child(
+        "import json, jax; "
+        "print(json.dumps({'p': jax.devices()[0].platform}))", timeout=120)
+    return out["p"].lower()
+
+
+try:
+    _PLATFORM = _tpu_platform()
+except Exception:
+    _PLATFORM = "none"
+
+tpu_only = pytest.mark.skipif(
+    _PLATFORM not in ("tpu", "axon"),
+    reason=f"no TPU-like backend attached (platform={_PLATFORM})")
+
+
+@tpu_only
+def test_compiled_jacobi_sv_vs_lapack():
+    """Compiled (non-interpret) V-free Jacobi kernel on TEBD-shaped
+    512x512 thetas with a decaying spectrum: S matches LAPACK, kept V
+    columns are orthonormal-or-zero after the NS polish."""
+    out = _run_child("""
+import json, numpy as np, jax.numpy as jnp
+from timecrystal_tpu.ops.cpx import C
+from timecrystal_tpu.ops import cpx
+from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_sv
+rng = np.random.RandomState(7)
+B, n, k = 4, 512, 256
+M = np.zeros((B, n, n), np.complex64)
+for i in range(B):
+    q1, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
+    q2, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
+    M[i] = (q1 * np.logspace(0, -7, n)) @ q2.conj().T
+th = C(jnp.asarray(M.real), jnp.asarray(M.imag))
+S, V = jacobi_sv(th, polish=k)
+S = np.asarray(S)
+Sref = np.linalg.svd(M, compute_uv=False)
+serr = float(np.max(np.abs(S - Sref)) / Sref.max())
+Vk = np.asarray(V.re)[..., :k] + 1j * np.asarray(V.im)[..., :k]
+G = np.einsum("bji,bjk->bik", Vk.conj(), Vk)
+dg = np.einsum("bii->bi", G).real
+diag_ok = bool(np.allclose(dg, np.round(dg), atol=1e-4))
+off = G - np.einsum("bi,ij->bij", np.einsum("bii->bi", G), np.eye(k))
+print(json.dumps({"serr": serr, "diag_ok": diag_ok,
+                  "offmax": float(np.abs(off).max())}))
+""")
+    assert out["serr"] < 5e-5, out
+    assert out["diag_ok"], out
+    assert out["offmax"] < 5e-5, out
+
+
+@tpu_only
+def test_compiled_gram_eigh_auto_path():
+    """csvd_topk 'auto' on TPU at n=128 routes to gram_eigh; S matches
+    LAPACK on the compiled path."""
+    out = _run_child("""
+import json, numpy as np, jax.numpy as jnp
+from timecrystal_tpu.ops.cpx import C
+from timecrystal_tpu.ops.csvd import csvd_topk
+rng = np.random.RandomState(3)
+B, n, k = 6, 128, 64
+M = (rng.randn(B, n, n) + 1j * rng.randn(B, n, n)).astype(np.complex64)
+M /= np.sqrt(n)
+th = C(jnp.asarray(M.real), jnp.asarray(M.imag))
+S, Vh, disc = csvd_topk(th, k, method="auto")
+Sref = np.linalg.svd(M, compute_uv=False)[:, :k]
+serr = float(np.max(np.abs(np.asarray(S) - Sref)) / Sref.max())
+print(json.dumps({"serr": serr}))
+""")
+    assert out["serr"] < 2e-4, out
+
+
+@tpu_only
+def test_f32_end_to_end_trace_error_vs_oracle():
+    """Full-rank L=12 evolution on the TPU f32 pipeline vs the exact dense
+    oracle, both frames; merged frame must match strict to f32 accuracy."""
+    out = _run_child("""
+import json, sys, numpy as np, jax.numpy as jnp
+sys.path.insert(0, "tests")
+from exact_reference import evolve_exact
+from timecrystal_tpu.core.mps import create_initial_state
+from timecrystal_tpu.core.truncate import TruncParams
+from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
+from timecrystal_tpu.models.kicked_ising import (draw_disorder_reference,
+                                                 make_floquet_gates)
+L, chi, n_per, theta = 12, 128, 25, 0.92 * np.pi
+hf = draw_disorder_reference(L, 0.3, 42)
+gates = make_floquet_gates(1.0, jnp.asarray(hf, jnp.float32), 1.0,
+                           theta=theta, dtype=jnp.float32)
+psi0 = create_initial_state(L, "neel", chi=chi, dtype=jnp.float32)
+sz_ex, le_ex = evolve_exact(L, 1.0, hf, 1.0, n_per, theta=theta)
+res = {}
+for frame in ("strict", "merged"):
+    tp = TruncParams(chi_max=0, svd_min=1e-7)
+    _, tr = evolve_floquet_scan(psi0, gates, n_per, tp, frame=frame)
+    sz = np.asarray(tr["sz_sites"]); le = np.asarray(tr["loschmidt_echo"])
+    res[frame + "_sz"] = float(np.max(np.abs(sz - sz_ex[1:])))
+    res[frame + "_le"] = float(np.max(np.abs(le - le_ex[1:])))
+print(json.dumps(res))
+""")
+    assert out["strict_sz"] < 1e-4, out
+    assert out["strict_le"] < 1e-4, out
+    assert out["merged_sz"] < 1e-4, out
+    assert out["merged_le"] < 1e-4, out
+
+
+@tpu_only
+def test_bench_contract_quick():
+    """bench.py prints one JSON line with the required keys (tiny shapes
+    via TCT_BENCH_QUICK; same code path as the driver's benchmark run)."""
+    out = _run_child(
+        "import runpy; runpy.run_path('bench.py', run_name='__main__')",
+        env_extra={"TCT_BENCH_QUICK": "1"})
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in out, out
+    assert out["value"] > 0, out

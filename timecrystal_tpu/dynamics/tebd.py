@@ -32,17 +32,51 @@ from ..ops import cpx
 from ..ops.cpx import C
 
 
-@partial(jax.jit, static_argnames=("n_periods", "tp", "with_states"))
+@partial(jax.jit, static_argnames=("n_periods", "tp", "with_states", "frame"))
 def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
-                        tp: TruncParams, with_states: bool = False):
+                        tp: TruncParams, with_states: bool = False,
+                        frame: str = "strict"):
     """Scan U_F^n with in-scan observables.
 
     Returns (final MPS, traces) where traces hold per-period arrays
     *excluding* the initial state (prepended host-side): sz_sites
     [n, L], loschmidt_echo [n], entropies [n, L+1], max_chi [n],
     trunc_err [n], and optionally the full state history.
+
+    frame='merged' evolves in the half-step frame (kicked_ising.
+    floquet_period_merged): one Ising sweep per period instead of two
+    (~2x faster), with sz/magnetization/staggered/LE traces EXACTLY equal
+    to the strict frame; entropies/max_chi traces are those of the
+    half-step-shifted state.  The returned final MPS is mapped back to the
+    physical frame (one H^{-1} at the end).  Requires diagonal bond gates
+    (kicked-Ising); incompatible with with_states.
     """
     sz_op = G.pauli_c("z", psi0.dtype)
+
+    if frame == "merged":
+        if with_states:
+            raise ValueError("frame='merged' cannot return state history")
+        from ..models.kicked_ising import (floquet_period_merged,
+                                           ising_half_step,
+                                           ising_half_step_inverse)
+
+        phi0, e0 = ising_half_step(psi0, gates, tp)
+
+        def period_fn(phi, _):
+            phi, err = floquet_period_merged(phi, gates, tp)
+            sz = expectation_one_site(phi, sz_op).re
+            le = cpx.abs2(overlap(phi0, phi))
+            ent = entanglement_entropy(phi)
+            chi_eff = bond_dimensions(phi)
+            out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
+                       max_chi=jnp.max(chi_eff[1:-1], initial=1),
+                       trunc_err=err)
+            return phi, out
+
+        phi_final, traces = jax.lax.scan(period_fn, phi0, None,
+                                         length=n_periods)
+        psi_final, _ = ising_half_step_inverse(phi_final, gates, tp)
+        return psi_final, traces
 
     def period_fn(psi, _):
         psi, err = floquet_period(psi, gates, tp)

@@ -79,6 +79,56 @@ def floquet_period(psi: MPS, gates: FloquetGates, tp: TruncParams):
     return psi, e1 + e2 + e3 + e4
 
 
+def _square_diagonal_gates(g: C) -> C:
+    """Elementwise complex square of the (diagonal) Ising bond gates: turns
+    the half-step phases exp(-i tau/2 H_b) into the full-step
+    exp(-i tau H_b).  Valid precisely because the gates are diagonal
+    (zero entries square to zero)."""
+    return C(g.re * g.re - g.im * g.im, 2.0 * g.re * g.im)
+
+
+@partial(jax.jit, static_argnames=("tp",))
+def ising_half_step(psi: MPS, gates: FloquetGates, tp: TruncParams):
+    """H = exp(-i tau/2 sum_b H_b) alone (even bonds then odd)."""
+    psi, e1 = apply_bond_gates(psi, gates.bond_gates, start=0, tp=tp)
+    psi, e2 = apply_bond_gates(psi, gates.bond_gates, start=1, tp=tp)
+    return psi, e1 + e2
+
+
+@partial(jax.jit, static_argnames=("tp",))
+def ising_half_step_inverse(psi: MPS, gates: FloquetGates, tp: TruncParams):
+    """H^{-1} = H^dagger: conjugate of the diagonal phase gates."""
+    inv = C(gates.bond_gates.re, -gates.bond_gates.im)
+    psi, e1 = apply_bond_gates(psi, inv, start=0, tp=tp)
+    psi, e2 = apply_bond_gates(psi, inv, start=1, tp=tp)
+    return psi, e1 + e2
+
+
+@partial(jax.jit, static_argnames=("tp",))
+def floquet_period_merged(phi: MPS, gates: FloquetGates, tp: TruncParams):
+    """One Floquet period in the half-step frame phi = H psi.
+
+    Because the two Ising half-steps H of consecutive periods commute (all
+    bond terms are diagonal in z), U_F^n = H . K . H^2 . K ... H^2 . K . H:
+    evolving phi_{j+1} = H^2 K phi_j costs ONE Ising sweep per period
+    (2 batched SVD calls) instead of two (4 calls) -- a ~2x cut of the
+    dominant cost.  Exactness of observables in this frame: H commutes with
+    every sigma^z_i, so <sigma^z_i>, magnetization and staggered
+    magnetization are EXACT; the Loschmidt echo is exact via
+    |<phi_0|phi_j>|^2 = |<psi_0|psi_j>|^2 (same unitary H on both sides).
+    Entanglement entropy / bond-dimension traces are those of the
+    half-step-shifted state (the physical state differs by one H).
+    Only valid for DIAGONAL bond gates (the kicked-Ising model); generic
+    Trotter circuits must use ``floquet_period``.
+    """
+    full = FloquetGates(bond_gates=_square_diagonal_gates(gates.bond_gates),
+                        kick=gates.kick)
+    phi = apply_one_site_gates(phi, gates.kick)
+    phi, e1 = apply_bond_gates(phi, full.bond_gates, start=0, tp=tp)
+    phi, e2 = apply_bond_gates(phi, full.bond_gates, start=1, tp=tp)
+    return phi, e1 + e2
+
+
 def apply_boundary_gate_periodic(psi: MPS, boundary_gate, tp: TruncParams) -> MPS:
     """Apply the (L-1, 0) boundary gate of a periodic chain via a swap
     network: swap site 0 rightward to position L-2, apply the gate at the

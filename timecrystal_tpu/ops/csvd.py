@@ -377,11 +377,20 @@ def csvd_topk(theta: C, k: int, method: str = "auto", n_power: int = 2,
             # where the eigh is cheap and batching amortizes it.
             method = "jacobi" if n >= 256 else "gram_eigh"
 
-    if method == "jacobi":
-        # Pallas one-sided Jacobi kernel (whole batch in one call)
-        from .pallas.jacobi_svd import jacobi_svd
+    if method in ("jacobi", "jacobi_full"):
+        # Pallas one-sided Jacobi kernel (whole batch in one call).  The
+        # top-k path needs only (S, Vh): the V-free transpose-trick kernel
+        # (jacobi_sv, rotations on theta^H with no V accumulator) is ~1.5x
+        # the full kernel's speed and exits early once converged.
+        # 'jacobi_full' forces the round-1 fixed-sweep U,S,Vh kernel.
+        from .pallas.jacobi_svd import jacobi_sv, jacobi_svd
 
-        U, S, Vh = jacobi_svd(theta, n_sweeps=jacobi_sweeps or None)
+        if method == "jacobi" and m == n and n % 2 == 0:
+            S, V = jacobi_sv(theta, max_sweeps=jacobi_sweeps or None,
+                             polish=k)
+            Vh = C(jnp.swapaxes(V.re, -1, -2), -jnp.swapaxes(V.im, -1, -2))
+        else:
+            U, S, Vh = jacobi_svd(theta, n_sweeps=jacobi_sweeps or None)
         disc = jnp.sum(S[..., k:] ** 2, axis=-1)
         return (S[..., :k], C(Vh.re[..., :k, :], Vh.im[..., :k, :]), disc)
 

@@ -111,6 +111,251 @@ def _jacobi_kernel(n: int, n_sweeps: int):
     return kernel
 
 
+def _jacobi_sweep_kernel(n: int):
+    """ONE full tournament sweep over refs [G, m, n], rotate-A-only: no V
+    accumulation (the caller runs it on theta^H and reads V as the
+    normalized rotated columns) and incremental column norms (a, b carried
+    through the tournament, recomputed fresh at sweep start).  Emits the
+    sweep's convergence measure max_pairs |c|^2/(a*b) so the caller's
+    XLA-level while_loop can stop sweeping early (TEBD thetas converge in
+    far fewer sweeps than random matrices; in-kernel dynamic trip counts on
+    vector-derived SMEM scalars proved unreliable under Mosaic, so the
+    sweep loop lives outside)."""
+    k = n // 2
+    steps_per_sweep = n - 1
+
+    def kernel(in_re_ref, in_im_ref, A_re_ref, A_im_ref, off2_ref,
+               ab_ref):
+        A_re_ref[:] = in_re_ref[:]
+        A_im_ref[:] = in_im_ref[:]
+        ab_ref[:, 0, :] = jnp.sum(A_re_ref[:, :, :k] ** 2
+                                  + A_im_ref[:, :, :k] ** 2, axis=1)
+        ab_ref[:, 1, :] = jnp.sum(A_re_ref[:, :, k:] ** 2
+                                  + A_im_ref[:, :, k:] ** 2, axis=1)
+        ab_ref[:, 2, :] = jnp.zeros_like(ab_ref[:, 2, :])
+        # convergence-measure floor: columns whose norm^2 sits below
+        # (64 eps)^2 * max-column-norm^2 are resolution-level noise (the
+        # caller zeros them on output); their pairs stay mutually parallel
+        # forever and must not gate convergence.
+        maxn2 = jnp.max(jnp.maximum(ab_ref[:, 0, :], ab_ref[:, 1, :]),
+                        axis=1, keepdims=True)                    # [G, 1]
+        inv_maxn2_sq = 1.0 / jnp.maximum(maxn2 * maxn2, 1e-30)
+
+        def step(t, _):
+            L_re, L_im = A_re_ref[:, :, :k], A_im_ref[:, :, :k]
+            R_re, R_im = A_re_ref[:, :, k:], A_im_ref[:, :, k:]
+            a = ab_ref[:, 0, :]
+            b = ab_ref[:, 1, :]
+            c_re = jnp.sum(L_re * R_re + L_im * R_im, axis=1)
+            c_im = jnp.sum(L_re * R_im - L_im * R_re, axis=1)
+            abs2c = c_re * c_re + c_im * c_im
+            # per-pair-slot running max of the convergence measure: pure
+            # elementwise VMEM update inside the loop (vector->scalar
+            # reductions on loop carries miscompile under Mosaic here);
+            # reduced to one scalar after the loop.  Slot order is permuted
+            # by the cycle, but max over slots is permutation-invariant.
+            ratio = abs2c * inv_maxn2_sq
+            ab_ref[:, 2, :] = jnp.maximum(ab_ref[:, 2, :], ratio)
+            absc = jnp.sqrt(abs2c)
+            safe = absc > 1e-30
+            tau = jnp.where(safe, (b - a) / jnp.maximum(2 * absc, 1e-30),
+                            0.0)
+            t_ = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau))
+            t_ = jnp.where(safe, t_, 0.0)
+            cs = 1.0 / jnp.sqrt(1 + t_ * t_)
+            sn = cs * t_
+            ph_re = jnp.where(safe, c_re / jnp.maximum(absc, 1e-30), 1.0)
+            ph_im = jnp.where(safe, c_im / jnp.maximum(absc, 1e-30), 0.0)
+            w1_re, w1_im = sn * ph_re, -sn * ph_im
+            w2_re, w2_im = sn * ph_re, sn * ph_im
+            cs_b = cs[:, None, :]
+            w1_re_b, w1_im_b = w1_re[:, None, :], w1_im[:, None, :]
+            w2_re_b, w2_im_b = w2_re[:, None, :], w2_im[:, None, :]
+            u_re, u_im = L_re, L_im
+            XL_re = cs_b * u_re - (w1_re_b * R_re - w1_im_b * R_im)
+            XL_im = cs_b * u_im - (w1_re_b * R_im + w1_im_b * R_re)
+            XR_re = (w2_re_b * u_re - w2_im_b * u_im) + cs_b * R_re
+            XR_im = (w2_re_b * u_im + w2_im_b * u_re) + cs_b * R_im
+            # 2x2 Jacobi norm update: a' = a - t|c|, b' = b + t|c|
+            a_new = a - t_ * absc
+            b_new = b + t_ * absc
+            # rotate + tournament cycle fused on values
+            A_re_ref[:, :, :k] = jnp.concatenate(
+                [XL_re[:, :, :1], XR_re[:, :, :1], XL_re[:, :, 1:k - 1]],
+                axis=2)
+            A_im_ref[:, :, :k] = jnp.concatenate(
+                [XL_im[:, :, :1], XR_im[:, :, :1], XL_im[:, :, 1:k - 1]],
+                axis=2)
+            A_re_ref[:, :, k:] = jnp.concatenate(
+                [XR_re[:, :, 1:], XL_re[:, :, k - 1:]], axis=2)
+            A_im_ref[:, :, k:] = jnp.concatenate(
+                [XR_im[:, :, 1:], XL_im[:, :, k - 1:]], axis=2)
+            ab_ref[:, 0, :] = jnp.concatenate(
+                [a_new[:, :1], b_new[:, :1], a_new[:, 1:k - 1]], axis=1)
+            ab_ref[:, 1, :] = jnp.concatenate(
+                [b_new[:, 1:], a_new[:, k - 1:]], axis=1)
+            return 0
+
+        jax.lax.fori_loop(0, steps_per_sweep, step, 0)
+        off2 = jnp.max(ab_ref[:, 2, :]).astype(jnp.float32)
+        off2_ref[0, :, :] = jnp.full((8, 128), off2, dtype=jnp.float32)
+
+    return kernel
+
+
+def _pick_block(Bn0: int, per_mat_bytes: int, budget_bytes: int) -> int:
+    """Matrices per grid step: largest G within the VMEM budget that
+    minimizes padding waste ceil(B/G)*G - B."""
+    cap = max(1, min(Bn0, budget_bytes // max(per_mat_bytes, 1)))
+    best, best_eff = 1, 0.0
+    for G in range(1, cap + 1):
+        eff = Bn0 / (((Bn0 + G - 1) // G) * G)
+        if eff >= best_eff - 1e-12:
+            if eff > best_eff + 1e-12 or G > best:
+                best, best_eff = G, eff
+    return best
+
+
+def _ns_polish(V: C, pk: int, iters: int = 12) -> C:
+    """Newton-Schulz re-orthonormalization of V's leading pk columns.
+
+    The V-free kernel's small-sigma columns carry direction noise
+    ~eps*sigma_max/sigma (normalized rotated columns, not accumulated
+    rotations), which breaks mutual orthogonality -- and downstream MPS
+    canonical form -- at the truncation boundary.  NS iteration converges
+    to the nearest partial isometry: junk columns resolve into an
+    orthonormal basis of their span (or zero for rank deficiency), good
+    columns move by at most their own noise level.  Prescaling by 1/sqrt(2)
+    keeps worst-case pairwise-parallel columns (sigma up to sqrt(2)) inside
+    the NS convergence region; 12 iterations cover compiled-kernel defects
+    up to ~0.3 (measured on adversarial dense-boundary spectra -> 8e-8
+    residual).  All matmuls -> MXU; cost is negligible against the
+    rotation kernel.
+    """
+    X = C(V.re[..., :, :pk], V.im[..., :, :pk]) * np.float32(1.0 / np.sqrt(2))
+    eye = jnp.eye(pk, dtype=V.dtype)
+    for _ in range(iters):
+        P = cpx.einsum("...ji,...jk->...ik", X.conj(), X)
+        corr = C(1.5 * eye - 0.5 * P.re, -0.5 * P.im)
+        X = cpx.einsum("...ij,...jk->...ik", X, corr)
+    re = jnp.concatenate([X.re, V.re[..., :, pk:]], axis=-1)
+    im = jnp.concatenate([X.im, V.im[..., :, pk:]], axis=-1)
+    return C(re, im)
+
+
+@partial(jax.jit, static_argnames=("max_sweeps", "tol", "polish", "interpret"))
+def jacobi_sv(theta: C, max_sweeps: int | None = None,
+              tol: float | None = None, polish: int = 0,
+              interpret: bool = False):
+    """(S, V) of square theta C[..., n, n] -- the TEBD-update fast path.
+
+    The two-site update consumes only (S, V) (core/truncate.py uses S_top,
+    Vh_top, theta_tilde; U is never formed), and SVD(theta^H) = V S U^H, so
+    running the one-sided kernel on A = theta^H yields V directly as the
+    NORMALIZED ROTATED COLUMNS -- no V accumulator in the kernel at all.
+    That halves the rotation flops and VMEM per matrix vs ``jacobi_svd``;
+    on top of it the kernel carries incremental column norms and the sweep
+    loop exits early once a full sweep sees every pair overlap below
+    tol * sigma_max^2 (L=40 chi=256 TEBD thetas converge in ~8-10 sweeps;
+    low-rank early-evolution thetas in fewer; random matrices use up to
+    max_sweeps).
+
+    S descending; V's columns for sigma ~ 0 carry direction noise
+    ~eps*sigma_max/sigma (they are masked to zero by truncation downstream,
+    same convention as jacobi_svd's U).
+    """
+    if max_sweeps is None:
+        max_sweeps = 24 if theta.dtype == jnp.float64 else 12
+    if tol is None:
+        # absolute measure: exit once max_pairs |<L,R>| <= tol * sigma_max^2.
+        # Calibrated on L=40 chi=256 TEBD thetas AND end-to-end L=16 traces
+        # vs the exact oracle: tol=3e-8 exits after ~10 sweeps (S err ~1e-6,
+        # end-to-end trace error ~3e-5 over 40 periods -- matching the
+        # V-accumulating kernel's quality); looser 1e-6 exits ~2 sweeps
+        # earlier but costs ~1 digit end-to-end because the normalized-
+        # column V needs full convergence at the small-sigma scale.
+        tol = 1e-14 if theta.dtype == jnp.float64 else 3e-8
+    squeeze = theta.ndim == 2
+    if squeeze:
+        theta = C(theta.re[None], theta.im[None])
+    Bn0, m, n = theta.re.shape
+    assert m == n and n % 2 == 0, "jacobi_sv requires square even-n theta"
+    # A = theta^H: orthogonalized columns become V*S
+    A = C(jnp.swapaxes(theta.re, -1, -2), -jnp.swapaxes(theta.im, -1, -2))
+
+    # per matrix resident: A re+im (input aliased to output) + rotation and
+    # concat value temporaries.  Empirical scoped-VMEM footprint on v5e is
+    # ~10x m*n*itemsize per matrix (measured 105 MB at G=10, n=512), so
+    # budget 50 MB against that to stay clear of the 100 MB scoped limit.
+    per_mat_bytes = (10 * m * n) * np.dtype(theta.dtype).itemsize
+    G = _pick_block(Bn0, per_mat_bytes, 50 * 2**20)
+    pad = (-Bn0) % G
+    if pad:
+        A = C(jnp.concatenate([A.re, jnp.zeros((pad, m, n), theta.dtype)]),
+              jnp.concatenate([A.im, jnp.zeros((pad, m, n), theta.dtype)]))
+    Bn = Bn0 + pad
+
+    kernel = _jacobi_sweep_kernel(n)
+    n_blocks = Bn // G
+    out_shape = [jax.ShapeDtypeStruct((Bn, m, n), theta.dtype),
+                 jax.ShapeDtypeStruct((Bn, m, n), theta.dtype),
+                 jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.float32)]
+    block = pl.BlockSpec((G, m, n), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    off2_spec = pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    sweep_call = pl.pallas_call(
+        kernel, grid=(n_blocks,), out_shape=out_shape,
+        in_specs=[block, block], out_specs=[block, block, off2_spec],
+        input_output_aliases={0: 0, 1: 1},
+        scratch_shapes=[
+            pltpu.VMEM((G, 3, n // 2), theta.dtype),      # a, b norms + off-max
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    # sweep-until-converged at the XLA level: one kernel launch per sweep
+    # (launches are device-side inside the jit program; the A blocks stay
+    # resident per sweep and HBM round-trips between sweeps are ~1% of the
+    # sweep's rotation time at n=512)
+    def cond(carry):
+        s, off2, _, _ = carry
+        return (s < max_sweeps) & (off2 >= np.float32(tol * tol))
+
+    def body(carry):
+        s, _, re, im = carry
+        re, im, off2b = sweep_call(re, im)
+        return (s + 1, jnp.max(off2b), re, im)
+
+    _, _, B_re, B_im = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.float32(jnp.inf), A.re, A.im))
+    if pad:
+        B_re, B_im = B_re[:Bn0], B_im[:Bn0]
+    Bm = C(B_re, B_im)                                     # = V S
+    S = jnp.sqrt(jnp.sum(cpx.abs2(Bm), axis=-2))
+    order = jnp.argsort(-S, axis=-1)
+    S = jnp.take_along_axis(S, order, axis=-1)
+    Bm = C(jnp.take_along_axis(Bm.re, order[:, None, :], axis=-1),
+           jnp.take_along_axis(Bm.im, order[:, None, :], axis=-1))
+    # Resolution floor: sigma below 64*eps*sigma_max is pure rotation noise
+    # in this dtype (weight <= (64 eps)^2 ~ 6e-11 in f32); their normalized
+    # columns are noise directions that can be mutually near-parallel, which
+    # would break the NS polish (sigma_max(V_k) past sqrt(3)).  Zero both.
+    floor = 64.0 * float(jnp.finfo(theta.dtype).eps)
+    keep = S > floor * S[..., :1]
+    S = jnp.where(keep, S, 0.0)
+    inv = jnp.where(keep, 1.0 / jnp.maximum(S, 1e-30), 0.0)
+    V = C(Bm.re * inv[:, None, :], Bm.im * inv[:, None, :])
+    if polish:
+        V = _ns_polish(V, min(polish, n))
+    if squeeze:
+        S, V = S[0], V[0]
+    return S, V
+
+
 @partial(jax.jit, static_argnames=("n_sweeps", "interpret"))
 def jacobi_svd(theta: C, n_sweeps: int | None = None, interpret: bool = False):
     """Batched one-sided Jacobi SVD: theta C[B, m, n] -> (U, S, Vh).

@@ -46,11 +46,13 @@ class SweepSpec(NamedTuple):
     theta: float = float(np.pi)
     tp: TruncParams = TruncParams.reference_hot_path()
     dtype: str = "float32"   # 'float32' | 'float64'
+    frame: str = "strict"    # 'strict' | 'merged' (see tebd.evolve_floquet_scan)
 
 
 def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec):
     """Evolve one realization; pure jnp (h_fields, tau may be traced)."""
-    from ..models.kicked_ising import floquet_period
+    from ..models.kicked_ising import (floquet_period, floquet_period_merged,
+                                       ising_half_step)
 
     dtype = jnp.float32 if spec.dtype == "float32" else jnp.float64
     psi0 = product_state(basis_indices, chi=spec.chi, dtype=dtype)
@@ -60,16 +62,31 @@ def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec):
     L = spec.L
     signs = jnp.asarray(np.where(np.arange(L) % 2 == 0, 1.0, -1.0), dtype)
 
+    merged = spec.frame == "merged"
+    if merged:
+        # half-step frame: sz and LE traces are exact, entropy/chi traces
+        # belong to the half-step-shifted state (kicked_ising.
+        # floquet_period_merged docstring).
+        psi_start, _ = ising_half_step(psi0, gates, spec.tp)
+        ref_state = psi_start
+    else:
+        psi_start = psi0
+        ref_state = psi0
+
     def period_fn(psi, _):
-        psi, err = floquet_period(psi, gates, spec.tp)
+        if merged:
+            psi, err = floquet_period_merged(psi, gates, spec.tp)
+        else:
+            psi, err = floquet_period(psi, gates, spec.tp)
         sz = expectation_one_site(psi, sz_op).re
-        le = cpx.abs2(overlap(psi0, psi))
+        le = cpx.abs2(overlap(ref_state, psi))
         chi_eff = jnp.max(bond_dimensions(psi)[1:-1], initial=1)
         ent_mid = entanglement_entropy(psi)[L // 2]
         return psi, dict(sz_sites=sz, loschmidt_echo=le, max_chi=chi_eff,
                          entropy_mid=ent_mid, trunc_err=err)
 
-    psi_final, tr = jax.lax.scan(period_fn, psi0, None, length=spec.n_periods)
+    psi_final, tr = jax.lax.scan(period_fn, psi_start, None,
+                                 length=spec.n_periods)
     # prepend t=0 observables
     sz0 = expectation_one_site(psi0, sz_op).re
     tr["sz_sites"] = jnp.concatenate([sz0[None], tr["sz_sites"]], axis=0)
