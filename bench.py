@@ -42,7 +42,9 @@ if os.environ.get("TCT_BENCH_QUICK"):
     N_PERIODS_BATCH = 3
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baselines", "baseline_cpu.json")
-BASELINE_KEY = "L40_chi256_theta0.9pi"
+# steady-state denominator (60-period run, tail=10; the 30-period tail in
+# round 1 was still mid-chi-ramp and understated CPU speed)
+BASELINE_KEY = "L40_chi256_theta0.9pi_steady"
 
 
 def run_single(n_periods: int) -> float:
@@ -66,7 +68,10 @@ def run_single(n_periods: int) -> float:
     # half-step merged frame: one Ising sweep per period instead of two;
     # sz/staggered/LE traces are EXACTLY the strict-frame values
     # (models/kicked_ising.floquet_period_merged -- verified to 1e-14 in f64)
-    _, tr = evolve_floquet_scan(psi0, gates, 2, tp, frame="merged")  # warmup
+    # warmup at the SAME length (n_periods is a static scan parameter, so a
+    # different length is a different XLA program -- a 2-period warmup would
+    # leave the timed call to compile on a cold cache)
+    _, tr = evolve_floquet_scan(psi0, gates, n_periods, tp, frame="merged")
     np.asarray(tr["loschmidt_echo"])
     t0 = time.time()
     _, tr = evolve_floquet_scan(psi0, gates, n_periods, tp, frame="merged")

@@ -11,9 +11,15 @@ from __future__ import annotations
 
 import argparse
 import importlib
+import os
 import subprocess
 import sys
 import time
+
+# repo root importable regardless of invocation directory (for `import main`)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 DEPENDENCIES = ["jax", "numpy", "scipy", "matplotlib", "tqdm", "psutil"]
 CORE_MODULES = [
@@ -71,6 +77,53 @@ def check_imports(verbose: bool = False) -> bool:
     return ok
 
 
+def run_code_quality_checks(verbose: bool = False) -> dict:
+    """Basic code-quality pass (reference tests/run_tests.py:97-140):
+    every package module byte-compiles, core modules + main import, and
+    public functions carry docstrings."""
+    import ast
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    results = {"syntax": {}, "missing_docstrings": [], "main_import": None}
+    for root, _dirs, files in os.walk(os.path.join(repo, "timecrystal_tpu")):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, repo)
+            src = open(path).read()
+            try:
+                compile(src, path, "exec")
+                results["syntax"][rel] = True
+            except SyntaxError as exc:
+                results["syntax"][rel] = str(exc)
+                continue
+            tree = ast.parse(src)
+            for node in ast.walk(tree):
+                if isinstance(node, (ast.FunctionDef, ast.ClassDef)) and \
+                        not node.name.startswith("_") and \
+                        ast.get_docstring(node) is None:
+                    results["missing_docstrings"].append(f"{rel}:{node.name}")
+    try:
+        import main  # noqa: F401
+        results["main_import"] = True
+    except Exception as exc:
+        results["main_import"] = str(exc)
+    bad = [k for k, v in results["syntax"].items() if v is not True]
+    print(f"Code quality: {len(results['syntax'])} files byte-compile"
+          + (f", {len(bad)} FAILED: {bad}" if bad else " (all ok)"))
+    if results["missing_docstrings"] and verbose:
+        print("  public defs without docstrings:")
+        for item in results["missing_docstrings"]:
+            print(f"    {item}")
+    elif results["missing_docstrings"]:
+        print(f"  {len(results['missing_docstrings'])} public defs without "
+              "docstrings (run with --verbose to list)")
+    print(f"main.py import: "
+          f"{'ok' if results['main_import'] is True else results['main_import']}")
+    return results
+
+
 def run_test_module(path: str, verbose: bool = False) -> dict:
     t0 = time.time()
     cmd = [sys.executable, "-m", "pytest", path, "-q"]
@@ -119,6 +172,9 @@ def main() -> int:
 
     dep_ok = check_dependencies(args.verbose)
     import_ok = check_imports(args.verbose)
+    quality = run_code_quality_checks(args.verbose)
+    quality_ok = all(v is True for v in quality["syntax"].values()) and \
+        quality["main_import"] is True
 
     modules = args.modules or TEST_MODULES
     results = []
@@ -134,7 +190,8 @@ def main() -> int:
         with open(args.output, "w") as f:
             f.write(report)
         print(f"\nReport written to {args.output}")
-    return 0 if all(r["passed"] for r in results) and dep_ok and import_ok else 1
+    return 0 if all(r["passed"] for r in results) and dep_ok and import_ok \
+        and quality_ok else 1
 
 
 if __name__ == "__main__":

@@ -7,7 +7,7 @@ even/odd TEBD updates on the MXU, lax.scan period loops, vmap disorder
 ensembles and shard_map phase-diagram sweeps over device meshes.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 # Convenience top-level API (deep imports remain the canonical paths)
 from .core.mps import MPS, create_initial_state  # noqa: E402,F401

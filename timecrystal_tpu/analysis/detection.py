@@ -134,21 +134,45 @@ def score_phase_point(loschmidt_echoes, times, bond_dims, h_over_J: float,
 
 
 def score_grid(traces: Dict[str, np.ndarray], times, hs, Ts,
-               drive_periods) -> List[Dict[str, float]]:
+               drive_periods, show_progress: bool = False) -> List[Dict[str, float]]:
     """Score every point of a batched sweep (traces leading axis = grid).
 
     NaN/overflow guards: any non-finite trace marks the point failed without
-    killing the sweep (SURVEY.md section 5 'failure detection')."""
+    killing the sweep (SURVEY.md section 5 'failure detection').
+
+    show_progress=True renders the reference's per-point tqdm bar with a
+    live (h/J, T*J, A2T, chi_avg) postfix (reference main.py:466-481); the
+    evolution itself is one batched device call here, so the bar tracks the
+    host-side scoring pass.
+    """
     out = []
     le_all = np.asarray(traces["loschmidt_echo"])
     chi_all = np.asarray(traces["max_chi"])
-    for g in range(le_all.shape[0]):
+    indices = range(le_all.shape[0])
+    bar = None
+    if show_progress:
+        try:
+            from tqdm import tqdm
+            bar = tqdm(total=le_all.shape[0], desc="Phase diagram",
+                       unit="point")
+        except ImportError:
+            bar = None
+    for g in indices:
         le = le_all[g]
         if not np.all(np.isfinite(le)):
             out.append(score_phase_point([np.nan], [0.0], [1], hs[g], Ts[g], 1.0))
             out[-1]["success"] = False
-            continue
-        t = times[g] if np.ndim(times) > 1 else times
-        out.append(score_phase_point(le, t, chi_all[g], float(hs[g]),
-                                     float(Ts[g]), float(drive_periods[g])))
+        else:
+            t = times[g] if np.ndim(times) > 1 else times
+            out.append(score_phase_point(le, t, chi_all[g], float(hs[g]),
+                                         float(Ts[g]), float(drive_periods[g])))
+        if bar is not None:
+            rec = out[-1]
+            bar.set_postfix({"h/J": f"{float(hs[g]):.2f}",
+                             "T*J": f"{float(Ts[g]):.2f}",
+                             "A2T": f"{rec.get('A2T', 0.0):.3f}",
+                             "chi": f"{float(np.mean(chi_all[g])):.1f}"})
+            bar.update(1)
+    if bar is not None:
+        bar.close()
     return out

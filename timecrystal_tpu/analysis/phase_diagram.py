@@ -35,8 +35,14 @@ def calculate_phase_point(h_over_J: float, T_J: float, params: Dict) -> Dict:
 
 
 def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
-                     chi_pad: int = 32) -> Dict:
-    """Evolve the whole (h/J x T.J) grid in one batched call and score it."""
+                     chi_pad: int = 32, show_progress: bool = False) -> Dict:
+    """Evolve the whole (h/J x T.J) grid in one batched call and score it.
+
+    ``mesh='auto'`` (the generate_phase_diagram default) shards the grid
+    batch over all local devices whenever more than one is attached
+    (parallel/sweep.evolve_batch_sharded); pass None to force single-device
+    or an explicit jax.sharding.Mesh to control placement.
+    """
     hc = GRID_HARDCODED
     tp = TruncParams(chi_max=hc["max_chi"],
                      svd_min=float(params.get("SVD_MIN", 1e-12)),
@@ -47,6 +53,11 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
         h_values, T_values, spec,
         disorder_seed=int(params.get("RANDOM_SEED", 42)))
     basis = _basis_indices(spec.L, "neel")
+    if mesh == "auto":
+        import jax
+
+        from ..parallel.sweep import default_mesh
+        mesh = default_mesh() if len(jax.devices()) > 1 else None
     if mesh is not None:
         traces = evolve_batch_sharded(h_fields, taus, basis, spec, mesh)
     else:
@@ -56,11 +67,12 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
     taus_np = np.asarray(taus)
     n_stored = traces["loschmidt_echo"].shape[1]
     times = np.arange(n_stored)[None, :] * (2.0 * taus_np)[:, None]
-    records = score_grid(traces, times, hs, Ts, drive_periods=2.0 * taus_np)
+    records = score_grid(traces, times, hs, Ts, drive_periods=2.0 * taus_np,
+                         show_progress=show_progress)
     return {"records": records, "hs": hs, "Ts": Ts, "traces": traces}
 
 
-def generate_phase_diagram(params: Dict, mesh=None, out_dir: str = "figures",
+def generate_phase_diagram(params: Dict, mesh="auto", out_dir: str = "figures",
                            show_progress: bool = True) -> Tuple:
     """Compute, render, and save the phase diagram
     (reference main.py:417-567; same output files)."""
@@ -82,7 +94,8 @@ def generate_phase_diagram(params: Dict, mesh=None, out_dir: str = "figures",
           f"T*J range: [{hc['T_range'][0]:.2f}, {hc['T_range'][1]:.2f}]")
     print(f"System size: {hc['n_sites']}, Evolution periods: {hc['n_periods']}")
 
-    res = sweep_phase_grid(h_values, T_values, params, mesh=mesh)
+    res = sweep_phase_grid(h_values, T_values, params, mesh=mesh,
+                           show_progress=show_progress)
     A2T = np.zeros((nT, nh))
     raw = np.zeros((nT, nh))
     success = np.zeros((nT, nh), dtype=bool)
