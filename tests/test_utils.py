@@ -73,3 +73,125 @@ class TestProfiling:
         out, secs = timed_blocked(lambda a: a @ a, x)
         assert secs >= 0.0
         assert out.shape == (128, 128)
+
+
+class TestCheckpointIntegration:
+    """Kill-and-resume behavior of the wired-in checkpoint paths
+    (VERDICT round-1: SweepCheckpointer must be used by a driver, and
+    chi-escalation must resume rather than restart)."""
+
+    def test_sweep_phase_grid_kill_and_resume(self, tmp_path, monkeypatch):
+        from timecrystal_tpu.analysis import phase_diagram as pd
+
+        params = {"J": 1.0, "SVD_MIN": 1e-12, "SVD_CUTOFF": 1e-7,
+                  "RANDOM_SEED": 42}
+        hv, Tv = [0.0, 0.2, 0.4], [1.6, 2.0]   # 6 points
+        monkeypatch.setattr(pd, "GRID_HARDCODED",
+                            dict(pd.GRID_HARDCODED, n_sites=6, n_periods=4))
+        ref = pd.sweep_phase_grid(hv, Tv, params)
+
+        ckdir = str(tmp_path / "sweep_ck")
+        calls = {"n": 0}
+        orig = pd.evolve_batch
+
+        def counting(h, t, basis, spec):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise KeyboardInterrupt("simulated kill mid-sweep")
+            return orig(h, t, basis, spec)
+
+        monkeypatch.setattr(pd, "evolve_batch", counting)
+        try:
+            pd.sweep_phase_grid(hv, Tv, params, checkpoint_dir=ckdir,
+                                chunk_size=2)
+        except KeyboardInterrupt:
+            pass
+        assert calls["n"] == 2  # chunk 0 completed, chunk 1 killed
+
+        monkeypatch.setattr(pd, "evolve_batch", orig)
+        res = pd.sweep_phase_grid(hv, Tv, params, checkpoint_dir=ckdir,
+                                  chunk_size=2)
+        from timecrystal_tpu.utils.checkpoint import SweepCheckpointer
+        assert SweepCheckpointer(ckdir).completed_chunks() == {0, 1, 2}
+        np.testing.assert_allclose(res["traces"]["loschmidt_echo"],
+                                   ref["traces"]["loschmidt_echo"],
+                                   rtol=0, atol=1e-12)
+
+    def test_evolve_floquet_auto_escalates_and_resumes(self, tmp_path):
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.dynamics.tebd import evolve_floquet_auto
+
+        mk = dict(n_sites=8, J=1.0, h_disorder=0.3, tau=0.9,
+                  disorder_seed=42, theta=0.92 * np.pi, dtype="float64")
+        tp = TruncParams(chi_max=0, svd_min=1e-12, svd_method="native")
+        # chi_start=8 saturates only after a few periods -> the escalation
+        # happens in a LATER chunk, and only that chunk may re-run
+        tr, times, info, model = evolve_floquet_auto(
+            mk, "neel", 10, tp, chi_start=8, chi_limit=16, chunk_periods=2)
+        assert info["chi_pad_used"] == 16
+        assert info["chi_escalations"], "expected at least one escalation"
+        assert any(e["period"] > 0 for e in info["chi_escalations"]), \
+            "test config should escalate after the first chunk"
+        # resume-from-padded-state: re-run cost is one chunk per escalation,
+        # never the whole prefix (the old behavior restarted from t=0)
+        assert info["n_rerun_periods"] <= 2 * len(info["chi_escalations"])
+
+        ckdir = str(tmp_path / "auto_ck")
+        tr_half, _, _, _ = evolve_floquet_auto(
+            mk, "neel", 6, tp, chi_start=8, chi_limit=16, chunk_periods=2,
+            checkpoint_dir=ckdir)
+        tr_full, _, info_r, _ = evolve_floquet_auto(
+            mk, "neel", 10, tp, chi_start=8, chi_limit=16, chunk_periods=2,
+            checkpoint_dir=ckdir)
+        np.testing.assert_allclose(tr_full["loschmidt_echo"],
+                                   tr["loschmidt_echo"], rtol=0, atol=1e-12)
+
+    def test_orbax_state_roundtrip(self, tmp_path):
+        from timecrystal_tpu.utils.checkpoint import (load_state, save_state,
+                                                      state_exists)
+        pytest = __import__("pytest")
+        psi = create_initial_state(6, "neel", chi=8)
+        path = str(tmp_path / "st")
+        try:
+            save_state(path, psi, {"k": 3}, format="orbax")
+        except RuntimeError:
+            pytest.skip("orbax not installed")
+        assert state_exists(path)
+        psi2, meta = load_state(path)
+        assert meta == {"k": 3}
+        np.testing.assert_array_equal(np.asarray(psi.B.re),
+                                      np.asarray(psi2.B.re))
+
+
+class TestMergedFrameAndPadding:
+    def test_pad_mps_exact(self):
+        from timecrystal_tpu.core.mps import pad_mps
+        psi = create_initial_state(6, "neel", chi=4)
+        big = pad_mps(psi, 16)
+        assert big.chi == 16
+        ov = cpx.abs2(overlap(big, big))
+        np.testing.assert_allclose(float(ov), 1.0, atol=1e-12)
+
+    def test_merged_frame_trace_parity_f64(self):
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+
+        L, chi, n_per = 8, 16, 12
+        hf = draw_disorder_reference(L, 0.3, 42)
+        gates = make_floquet_gates(1.0, jnp.asarray(hf, jnp.float64), 0.9,
+                                   theta=0.92 * np.pi, dtype=jnp.float64)
+        psi0 = create_initial_state(L, "neel", chi=chi, dtype=jnp.float64)
+        tp = TruncParams(chi_max=0, svd_min=1e-14, svd_method="native")
+        _, trs = evolve_floquet_scan(psi0, gates, n_per, tp, frame="strict")
+        fm, trm = evolve_floquet_scan(psi0, gates, n_per, tp, frame="merged")
+        np.testing.assert_allclose(np.asarray(trm["sz_sites"]),
+                                   np.asarray(trs["sz_sites"]), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(trm["loschmidt_echo"]),
+                                   np.asarray(trs["loschmidt_echo"]),
+                                   atol=1e-12)
+        # final state mapped back to the physical frame
+        fs, _ = evolve_floquet_scan(psi0, gates, n_per, tp, frame="strict")
+        np.testing.assert_allclose(float(cpx.abs2(overlap(fs, fm))), 1.0,
+                                   atol=1e-10)

@@ -35,8 +35,14 @@ def calculate_phase_point(h_over_J: float, T_J: float, params: Dict) -> Dict:
 
 
 def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
-                     chi_pad: int = 32, show_progress: bool = False) -> Dict:
+                     chi_pad: int = 32, show_progress: bool = False,
+                     checkpoint_dir: str | None = None,
+                     chunk_size: int | None = None) -> Dict:
     """Evolve the whole (h/J x T.J) grid in one batched call and score it.
+
+    ``checkpoint_dir`` switches to chunked evolution with per-chunk
+    persistence (utils/checkpoint.SweepCheckpointer): an interrupted sweep
+    resumes at the first incomplete chunk.
 
     ``mesh='auto'`` (the generate_phase_diagram default) shards the grid
     batch over all local devices whenever more than one is attached
@@ -58,11 +64,46 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
 
         from ..parallel.sweep import default_mesh
         mesh = default_mesh() if len(jax.devices()) > 1 else None
-    if mesh is not None:
-        traces = evolve_batch_sharded(h_fields, taus, basis, spec, mesh)
+
+    def _evolve(hf, tf):
+        if mesh is not None:
+            out = evolve_batch_sharded(hf, tf, basis, spec, mesh)
+        else:
+            out = evolve_batch(hf, tf, basis, spec)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    if checkpoint_dir is not None:
+        # chunked + resumable: completed chunks are loaded from disk, only
+        # the remainder evolves (kill-and-resume covered by
+        # tests/test_utils.py).  Chunks share one padded size so every chunk
+        # reuses the same compiled program.
+        import jax.numpy as jnp
+
+        from ..utils.checkpoint import SweepCheckpointer
+
+        B = int(h_fields.shape[0])
+        cs = int(chunk_size or max(1, -(-B // 8)))
+        n_chunks = -(-B // cs)
+        ck = SweepCheckpointer(checkpoint_dir)
+        done = ck.completed_chunks()
+        parts = {}
+        for c in range(n_chunks):
+            if c in done:
+                parts[c] = ck.load_chunk(c)
+                continue
+            lo, hi = c * cs, min((c + 1) * cs, B)
+            hf, tf = h_fields[lo:hi], taus[lo:hi]
+            if hi - lo < cs:                      # pad ragged tail chunk
+                pad = cs - (hi - lo)
+                hf = jnp.concatenate([hf, jnp.tile(hf[:1], (pad, 1))])
+                tf = jnp.concatenate([tf, jnp.tile(tf[:1], (pad,))])
+            tr = {k: v[:hi - lo] for k, v in _evolve(hf, tf).items()}
+            ck.save_chunk(c, tr)
+            parts[c] = tr
+        traces = {k: np.concatenate([parts[c][k] for c in range(n_chunks)])
+                  for k in parts[0]}
     else:
-        traces = evolve_batch(h_fields, taus, basis, spec)
-    traces = {k: np.asarray(v) for k, v in traces.items()}
+        traces = _evolve(h_fields, taus)
 
     taus_np = np.asarray(taus)
     n_stored = traces["loschmidt_echo"].shape[1]

@@ -58,6 +58,25 @@ class MPS(NamedTuple):
         return self.B.re.dtype
 
 
+def pad_mps(psi: MPS, new_chi: int) -> MPS:
+    """Embed an MPS into a larger padded bond dimension (exact: the new
+    directions carry zero weight).  Used by chi-escalation resume
+    (dynamics/tebd.evolve_floquet_auto) so a saturated run continues from
+    its current state at 2x chi instead of restarting from t=0."""
+    L, chi, d, _ = psi.B.re.shape
+    if new_chi < chi:
+        raise ValueError(f"pad_mps: new_chi {new_chi} < current chi {chi}")
+    if new_chi == chi:
+        return psi
+    B_re = jnp.zeros((L, new_chi, d, new_chi), psi.dtype)
+    B_re = B_re.at[:, :chi, :, :chi].set(psi.B.re)
+    B_im = jnp.zeros((L, new_chi, d, new_chi), psi.dtype)
+    B_im = B_im.at[:, :chi, :, :chi].set(psi.B.im)
+    lam = jnp.zeros((L + 1, new_chi), psi.lam.dtype)
+    lam = lam.at[:, :chi].set(psi.lam)
+    return MPS(B=C(B_re, B_im), lam=lam)
+
+
 def product_state(basis_indices, chi: int, d: int = 2, dtype=jnp.float32) -> MPS:
     """Build a product-state MPS |i_0 i_1 ... i_{L-1}> with padded bond chi.
 

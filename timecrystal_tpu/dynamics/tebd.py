@@ -15,6 +15,7 @@ preserved.
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import Dict, List, Tuple
@@ -35,7 +36,7 @@ from ..ops.cpx import C
 @partial(jax.jit, static_argnames=("n_periods", "tp", "with_states", "frame"))
 def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
                         tp: TruncParams, with_states: bool = False,
-                        frame: str = "strict"):
+                        frame: str = "strict", ref_state: MPS | None = None):
     """Scan U_F^n with in-scan observables.
 
     Returns (final MPS, traces) where traces hold per-period arrays
@@ -50,8 +51,13 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
     half-step-shifted state.  The returned final MPS is mapped back to the
     physical frame (one H^{-1} at the end).  Requires diagonal bond gates
     (kicked-Ising); incompatible with with_states.
+
+    ref_state: Loschmidt-echo reference (defaults to psi0); chunked drivers
+    pass the global t=0 state here.
     """
     sz_op = G.pauli_c("z", psi0.dtype)
+    if ref_state is None:
+        ref_state = psi0
 
     if frame == "merged":
         if with_states:
@@ -60,12 +66,13 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
                                            ising_half_step,
                                            ising_half_step_inverse)
 
+        phi_ref, _ = ising_half_step(ref_state, gates, tp)
         phi0, e0 = ising_half_step(psi0, gates, tp)
 
         def period_fn(phi, _):
             phi, err = floquet_period_merged(phi, gates, tp)
             sz = expectation_one_site(phi, sz_op).re
-            le = cpx.abs2(overlap(phi0, phi))
+            le = cpx.abs2(overlap(phi_ref, phi))
             ent = entanglement_entropy(phi)
             chi_eff = bond_dimensions(phi)
             out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
@@ -81,7 +88,7 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
     def period_fn(psi, _):
         psi, err = floquet_period(psi, gates, tp)
         sz = expectation_one_site(psi, sz_op).re
-        le = cpx.abs2(overlap(psi0, psi))
+        le = cpx.abs2(overlap(ref_state, psi))
         ent = entanglement_entropy(psi)
         chi_eff = bond_dimensions(psi)
         out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
@@ -193,39 +200,127 @@ class CustomFloquet:
 def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
                         trunc_params: dict | TruncParams | None = None,
                         chi_start: int = 16, chi_limit: int = 256,
-                        measure_every: int = 1):
-    """Chi-escalation driver: evolve at a small padded chi and re-run at 2x
-    whenever the effective bond dimension saturates the padding.
+                        measure_every: int = 1, chunk_periods: int = 16,
+                        checkpoint_dir: str | None = None):
+    """Chi-escalation driver: evolve at a small padded chi and escalate to
+    2x whenever the effective bond dimension saturates the padding.
 
     Fixed-shape XLA programs cannot grow chi adaptively the way the
-    reference's TeNPy objects do; this host-side escalation loop recovers
-    the adaptive behavior while keeping each attempt a single compiled
-    program.  For the reference's exact-pi-pulse configs the dynamics stays
-    rank-1 and the first (cheapest) level always suffices.
+    reference's TeNPy objects do; this host-side loop recovers the adaptive
+    behavior.  Evolution proceeds in chunks of ``chunk_periods``; when a
+    chunk saturates the padding, the PRE-CHUNK state (still exact) is
+    zero-padded to the doubled chi (core/mps.pad_mps) and only that chunk
+    re-runs -- no restart from t=0.  For the reference's exact-pi-pulse
+    configs the dynamics stays rank-1 and the first (cheapest) level always
+    suffices.
+
+    ``checkpoint_dir``: when set, the running state is persisted after each
+    completed chunk (utils/checkpoint.save_state) and an interrupted run
+    resumes from the last checkpoint.
 
     ``model_kwargs`` are KickedIsingModel arguments (without chi).
-    Returns (traces, times, info, model); info gains 'chi_pad_used'.
+    Returns (traces, times, info, model); info gains 'chi_pad_used',
+    'chi_escalations', and 'n_rerun_periods'.
     """
-    from ..core.mps import create_initial_state
+    from ..core.mps import create_initial_state, pad_mps
     from ..models.kicked_ising import KickedIsingModel
 
     tp = trunc_params if isinstance(trunc_params, TruncParams) \
         else TruncParams.from_dict(trunc_params)
-    cap = tp.chi_max if tp.chi_max else chi_limit
+    cap = min(tp.chi_max if tp.chi_max else chi_limit, chi_limit)
     chi = min(chi_start, chi_limit)
-    while True:
-        model = KickedIsingModel(chi=chi, **model_kwargs)
-        psi0 = create_initial_state(model.n_sites, state_type, chi=chi,
-                                    dtype=model.dtype)
-        flo = CustomFloquet(model, tp)
-        traces, times, info = flo.evolve_floquet_traces(psi0, n_periods,
-                                                        measure_every)
-        saturated = int(np.max(traces["max_chi"])) >= chi
-        if saturated and chi < min(cap, chi_limit):
-            chi = min(chi * 2, chi_limit)
-            continue
-        info["chi_pad_used"] = chi
-        return traces, times, info, model
+
+    start = time.time()
+    model = KickedIsingModel(chi=chi, **model_kwargs)
+    psi = create_initial_state(model.n_sites, state_type, chi=chi,
+                               dtype=model.dtype)
+    psi0 = psi
+    p_done = 0
+    escalations: list = []
+    n_rerun = 0
+    chunks: list = []
+
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import load_state, save_state, state_exists
+        ck_state = os.path.join(checkpoint_dir, "auto_state")
+        ck_traces = os.path.join(checkpoint_dir, "auto_traces.npz")
+        if state_exists(ck_state) and os.path.exists(ck_traces):
+            psi, meta = load_state(ck_state)
+            p_done = int(meta["p_done"])
+            chi = int(meta["chi"])
+            escalations = list(meta.get("escalations", []))
+            model = KickedIsingModel(chi=chi, **model_kwargs)
+            psi0 = create_initial_state(model.n_sites, state_type, chi=chi,
+                                        dtype=model.dtype)
+            with np.load(ck_traces) as z:
+                chunks = [{k: z[f"{k}__{i}"] for k in
+                           ("sz_sites", "loschmidt_echo", "entropies",
+                            "max_chi", "trunc_err")}
+                          for i in range(int(meta["n_chunks"]))]
+
+    while p_done < n_periods:
+        n = min(chunk_periods, n_periods - p_done)
+        # LE referenced to the t=0 state, not the chunk start
+        psi_next, tr = evolve_floquet_scan(psi, model.gates, n, tp,
+                                           ref_state=psi0)
+        tr = {k: np.asarray(v) for k, v in tr.items()}
+        saturated = int(np.max(tr["max_chi"])) >= chi
+        if saturated and chi < cap:
+            new_chi = min(chi * 2, cap)
+            escalations.append({"period": p_done, "from": chi, "to": new_chi})
+            n_rerun += n
+            chi = new_chi
+            model = KickedIsingModel(chi=chi, **model_kwargs)
+            psi = pad_mps(psi, chi)
+            psi0 = pad_mps(psi0, chi)
+            continue                      # re-run this chunk at the new chi
+        psi = psi_next
+        chunks.append(tr)
+        p_done += n
+        if checkpoint_dir is not None:
+            save_state(ck_state, psi,
+                       {"p_done": p_done, "chi": chi,
+                        "escalations": escalations,
+                        "n_chunks": len(chunks)})
+            flat = {}
+            for i, c in enumerate(chunks):
+                for k in ("sz_sites", "loschmidt_echo", "entropies",
+                          "max_chi", "trunc_err"):
+                    flat[f"{k}__{i}"] = c[k]
+            np.savez_compressed(ck_traces, **flat)
+
+    tr_all = {k: np.concatenate([c[k] for c in chunks], axis=0)
+              for k in ("sz_sites", "loschmidt_echo", "entropies",
+                        "max_chi", "trunc_err")}
+    wall_time = time.time() - start
+
+    init = _initial_observables(create_initial_state(
+        model.n_sites, state_type, chi=chi, dtype=model.dtype))
+    sel = np.arange(0, n_periods, measure_every)
+    traces = {}
+    for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi",
+              "trunc_err"):
+        traces[k] = np.concatenate([np.asarray(init[k])[None],
+                                    tr_all[k][sel]], axis=0)
+    traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
+    L = model.n_sites
+    signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
+    traces["staggered_magnetization"] = \
+        (traces["sz_sites"] * signs).sum(axis=-1) / L
+    times = [0.0] + [(int(p) + 1) * 2 * model.tau for p in sel]
+    bond_dims = [int(x) for x in traces["max_chi"]]
+    info = {
+        "wall_time": wall_time,
+        "bond_dimensions": bond_dims,
+        "periods_per_second": n_periods / wall_time if wall_time > 0 else float("inf"),
+        "final_bond_dim": bond_dims[-1],
+        "n_periods": n_periods,
+        "truncation_errors": traces["trunc_err"].tolist(),
+        "chi_pad_used": chi,
+        "chi_escalations": escalations,
+        "n_rerun_periods": n_rerun,
+    }
+    return traces, times, info, model
 
 
 # ---------------------------------------------------------------------------

@@ -32,22 +32,66 @@ def _mps_from_arrays(d: Dict[str, np.ndarray], dtype=None) -> MPS:
                lam=jnp.asarray(d["lam"], dt))
 
 
-def save_state(path: str, psi: MPS, metadata: Dict[str, Any] | None = None) -> None:
+def _orbax_checkpointer():
+    try:
+        import orbax.checkpoint as ocp
+        return ocp.PyTreeCheckpointer()
+    except Exception:
+        return None
+
+
+def save_state(path: str, psi: MPS, metadata: Dict[str, Any] | None = None,
+               format: str = "auto") -> None:
     """Persist an MPS + JSON-serializable metadata (h_fields, period index,
-    RNG keys as lists, trunc params...)."""
+    RNG keys as lists, trunc params...).
+
+    format: 'orbax' (directory checkpoint at <path>.orbax), 'npz'
+    (single compressed file at <path>.npz), or 'auto' = orbax when
+    installed, npz otherwise.  ``load_state`` auto-detects either.
+    """
     os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
     arrays = _mps_to_arrays(psi)
     meta = json.dumps(metadata or {})
+    ckptr = _orbax_checkpointer() if format in ("auto", "orbax") else None
+    if format == "orbax" and ckptr is None:
+        raise RuntimeError("orbax requested but not importable")
+    if ckptr is not None:
+        target = os.path.abspath(path) + ".orbax"
+        import shutil
+        shutil.rmtree(target, ignore_errors=True)
+        ckptr.save(target, {**arrays,
+                            "__meta__": np.frombuffer(meta.encode(), np.uint8)
+                            .copy()})
+        return
     np.savez_compressed(path, __meta__=np.frombuffer(meta.encode(), np.uint8),
                         **arrays)
 
 
 def load_state(path: str, dtype=None):
-    """Returns (MPS, metadata dict)."""
+    """Returns (MPS, metadata dict); auto-detects orbax vs npz layout."""
+    orbax_path = (path if path.endswith(".orbax")
+                  else os.path.abspath(path) + ".orbax")
+    if os.path.isdir(orbax_path):
+        ckptr = _orbax_checkpointer()
+        if ckptr is None:
+            raise RuntimeError(f"{orbax_path} exists but orbax not importable")
+        z = ckptr.restore(orbax_path)
+        meta = json.loads(bytes(np.asarray(z["__meta__"],
+                                           dtype=np.uint8)).decode()) \
+            if "__meta__" in z else {}
+        psi = _mps_from_arrays({k: np.asarray(z[k])
+                                for k in ("B_re", "B_im", "lam")}, dtype)
+        return psi, meta
     with np.load(path if path.endswith(".npz") else path + ".npz") as z:
         meta = json.loads(bytes(z["__meta__"]).decode()) if "__meta__" in z else {}
         psi = _mps_from_arrays({k: z[k] for k in ("B_re", "B_im", "lam")}, dtype)
     return psi, meta
+
+
+def state_exists(path: str) -> bool:
+    """True when either checkpoint layout exists at ``path``."""
+    return (os.path.isdir(os.path.abspath(path) + ".orbax")
+            or os.path.exists(path if path.endswith(".npz") else path + ".npz"))
 
 
 class SweepCheckpointer:
