@@ -148,3 +148,71 @@ class TestLindblad:
         sx_exact = [np.trace(_kron_at(np.asarray(G.SIGMA_X), [i], L) @ rho_T).real
                     for i in range(L)]
         np.testing.assert_allclose(sx_mps.real, sx_exact, atol=2e-3)  # Trotter dt^2
+
+
+class TestStrangConvergence:
+    """The dissipator is Strang-split around the Hamiltonian part: the
+    whole step must converge as O(dt^2) against the dense Liouvillian
+    (round-1 review: the dissipator was previously tacked on first-order)."""
+
+    def test_dt2_convergence_vs_dense_liouvillian(self):
+        import scipy.linalg
+
+        from tests.exact_reference import _kron_at
+
+        L, gamma, T = 3, 0.08, 0.6
+        H = spin_chain_model(L, Jz=1.0, hx=0.4, hz=0.2)
+
+        def rho_plus():
+            # |+>^L start exercises both coherences and populations
+            rho = density_mps_from_product(np.zeros(L, np.int32), 16, DTYPE)
+            B_re = rho.B.re.at[:, 0, :, 0].set(0.5 * jnp.ones((L, 4), DTYPE))
+            return MPS(B=cpx.C(B_re, rho.B.im), lam=rho.lam)
+
+        def run(dt):
+            le = LindbladEvolution(H, gamma=gamma, max_chi=16, dtype=DTYPE)
+            rhos, times, info = le.evolve(rho_plus(), total_time=T, dt=dt)
+            return expectation_rho_one_site(rhos[-1],
+                                            np.asarray(G.SIGMA_X)).real
+
+        dim = 2**L
+        Hd = np.zeros((dim, dim), dtype=complex)
+        for b in range(L - 1):
+            Hd += _kron_at(H.bond_H[b].reshape(4, 4), [b, b + 1], L)
+        Z = np.asarray(G.SIGMA_Z)
+        eyeD = np.eye(dim)
+        Lsup = -1j * (np.kron(Hd, eyeD) - np.kron(eyeD, Hd.T))
+        for i in range(L):
+            Lz = _kron_at(Z, [i], L)
+            Lsup += gamma * (np.kron(Lz, Lz.conj()) - np.eye(dim**2))
+        rho_d = np.full((dim, dim), 1.0 / dim, dtype=complex)
+        rho_T = (scipy.linalg.expm(Lsup * T) @ rho_d.reshape(-1)).reshape(dim, dim)
+        sx_exact = np.array(
+            [np.trace(_kron_at(np.asarray(G.SIGMA_X), [i], L) @ rho_T).real
+             for i in range(L)])
+
+        err_dt = np.max(np.abs(run(0.1) - sx_exact))
+        err_dt2 = np.max(np.abs(run(0.05) - sx_exact))
+        err_dt4 = np.max(np.abs(run(0.025) - sx_exact))
+        # O(dt^2): halving dt should cut the error ~4x (allow >=3x for
+        # subleading terms)
+        assert err_dt / err_dt2 > 3.0, (err_dt, err_dt2)
+        assert err_dt2 / err_dt4 > 3.0, (err_dt2, err_dt4)
+
+
+class TestEnsembleDistributions:
+    def test_per_trajectory_distributions_exposed(self):
+        from timecrystal_tpu.models.kicked_ising import KickedIsingModel
+
+        L, chi, n, T = 6, 16, 4, 5
+        m = KickedIsingModel(L, 1.0, 0.3, 1.0, disorder_seed=1, chi=chi,
+                             theta=0.92 * np.pi, dtype=DTYPE)
+        ose = OpenSystemEvolution(m, gamma=0.02, max_chi=chi, seed=3)
+        psi0 = create_initial_state(L, "neel", chi=chi, dtype=DTYPE)
+        traces, times, info = ose.evolve_ensemble(psi0, T, n)
+        pt = traces["per_trajectory"]
+        assert pt["max_chi"].shape == (n, T)
+        assert pt["trunc_err"].shape == (n, T)
+        assert np.all(pt["trunc_err"] >= 0)
+        # trajectories genuinely differ (random kicks)
+        assert np.std(np.asarray(traces["sz_sites_std"])) >= 0

@@ -70,7 +70,8 @@ def _evolve_stochastic_scan(psi0: MPS, gates, key, gamma_dt: float,
         sz = expectation_one_site(psi, sz_op).re
         return (psi, key), dict(sz_sites=sz,
                                 max_chi=jnp.max(bond_dimensions(psi)[1:-1],
-                                                initial=1))
+                                                initial=1),
+                                trunc_err=err)
 
     (psi_f, _), tr = jax.lax.scan(period_fn, (psi0, key), jnp.arange(n_periods))
     return psi_f, tr
@@ -142,6 +143,12 @@ class OpenSystemEvolution:
             "sz_sites": sz.mean(axis=0),
             "sz_sites_std": sz.std(axis=0),
             "max_chi": np.asarray(tr["max_chi"]).max(axis=0),
+            # full per-trajectory distributions (round-1 review: do not
+            # max-reduce away the ensemble statistics)
+            "per_trajectory": {
+                "max_chi": np.asarray(tr["max_chi"]),        # [T, n]
+                "trunc_err": np.asarray(tr["trunc_err"]),    # [T, n]
+            },
         }
         traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
         L = psi0.L
@@ -252,11 +259,18 @@ class LindbladEvolution:
         return G.gate_from_numpy(g, dtype=self.dtype)
 
     def _single_step(self, rho: MPS, dt: float, gates_half: C, gates_full: C,
-                     deph: C, tp: TruncParams) -> MPS:
+                     deph_half: C, tp: TruncParams) -> MPS:
+        """One Strang step of the full Lindbladian: the DISSIPATOR is split
+        symmetrically around the (itself Strang-split) Hamiltonian part, so
+        the whole step is O(dt^2) even for bond terms that do not commute
+        with the dephasing (dt-convergence verified in
+        tests/test_open_system.py).  The dephasing semigroup is diagonal and
+        SVD-free, so the extra half-application costs nothing measurable."""
+        rho = apply_one_site_gates(rho, deph_half)
         rho, _ = apply_bond_gates(rho, gates_half, start=0, tp=tp)
         rho, _ = apply_bond_gates(rho, gates_full, start=1, tp=tp)
         rho, _ = apply_bond_gates(rho, gates_half, start=0, tp=tp)
-        rho = apply_one_site_gates(rho, deph)
+        rho = apply_one_site_gates(rho, deph_half)
         return rho
 
     def evolve(self, rho_initial: MPS, total_time: float, dt: float,
@@ -272,12 +286,13 @@ class LindbladEvolution:
                          renormalize=False)
         gates_half = self._bond_supergates(dt / 2)
         gates_full = self._bond_supergates(dt)
-        deph = self._dephasing_gates(dt)
+        deph_half = self._dephasing_gates(dt / 2)
         rhos, times = [rho_initial], [0.0]
         rho = rho_initial
         start = time.time()
         for k in range(n_steps):
-            rho = self._single_step(rho, dt, gates_half, gates_full, deph, tp)
+            rho = self._single_step(rho, dt, gates_half, gates_full,
+                                    deph_half, tp)
             if k % observe_every == 0:
                 rhos.append(rho)
                 times.append((k + 1) * dt)
