@@ -15,6 +15,7 @@ from timecrystal_tpu.core import gates as G
 from timecrystal_tpu.core.mps import create_initial_state, to_statevector
 from timecrystal_tpu.core.truncate import TruncParams
 from timecrystal_tpu.dynamics.tebd import (TEBDEvolution, evolve_floquet_auto,
+                                           evolve_floquet_scan,
                                            spin_chain_model)
 
 DTYPE = jnp.float64
@@ -100,3 +101,50 @@ class TestChiEscalation:
         assert info["chi_pad_used"] > 4
         # at the final level the evolution is the one reported
         assert traces["sz_sites"].shape == (9, 8)
+
+
+class TestMeasureEvery:
+    """In-scan sparse measurement: observables computed only at measurement
+    periods (round-1 review: they were computed every period and the host
+    discarded the rest)."""
+
+    def test_in_scan_measure_every_matches_dense(self):
+        from timecrystal_tpu.core.mps import create_initial_state
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+
+        L, chi, n = 8, 16, 12
+        hf = draw_disorder_reference(L, 0.3, 42)
+        gates = make_floquet_gates(1.0, jnp.asarray(hf, jnp.float64), 0.9,
+                                   theta=0.92 * np.pi, dtype=jnp.float64)
+        psi0 = create_initial_state(L, "neel", chi=chi, dtype=jnp.float64)
+        tp = TruncParams(chi_max=0, svd_min=1e-14, svd_method="native")
+        for frame in ("strict", "merged"):
+            _, dense = evolve_floquet_scan(psi0, gates, n, tp, frame=frame)
+            _, sparse = evolve_floquet_scan(psi0, gates, n, tp, frame=frame,
+                                            measure_every=3)
+            np.testing.assert_array_equal(
+                np.asarray(dense["loschmidt_echo"])[2::3],
+                np.asarray(sparse["loschmidt_echo"]))
+            np.testing.assert_array_equal(
+                np.asarray(dense["sz_sites"])[2::3],
+                np.asarray(sparse["sz_sites"]))
+            np.testing.assert_allclose(
+                np.asarray(dense["trunc_err"]).reshape(4, 3).sum(axis=1),
+                np.asarray(sparse["trunc_err"]), atol=1e-18)
+
+    def test_non_divisor_rejected(self):
+        import pytest
+
+        from timecrystal_tpu.core.mps import create_initial_state
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+        hf = draw_disorder_reference(6, 0.3, 42)
+        gates = make_floquet_gates(1.0, jnp.asarray(hf, jnp.float64), 0.9,
+                                   dtype=jnp.float64)
+        psi0 = create_initial_state(6, "neel", chi=8, dtype=jnp.float64)
+        with pytest.raises(ValueError):
+            evolve_floquet_scan(psi0, gates, 10,
+                                TruncParams(svd_min=1e-14), measure_every=3)

@@ -33,16 +33,24 @@ from ..ops import cpx
 from ..ops.cpx import C
 
 
-@partial(jax.jit, static_argnames=("n_periods", "tp", "with_states", "frame"))
+@partial(jax.jit, static_argnames=("n_periods", "tp", "with_states", "frame",
+                                   "measure_every"))
 def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
                         tp: TruncParams, with_states: bool = False,
-                        frame: str = "strict", ref_state: MPS | None = None):
+                        frame: str = "strict", ref_state: MPS | None = None,
+                        measure_every: int = 1):
     """Scan U_F^n with in-scan observables.
 
-    Returns (final MPS, traces) where traces hold per-period arrays
+    Returns (final MPS, traces) where traces hold per-measurement arrays
     *excluding* the initial state (prepended host-side): sz_sites
-    [n, L], loschmidt_echo [n], entropies [n, L+1], max_chi [n],
-    trunc_err [n], and optionally the full state history.
+    [n_meas, L], loschmidt_echo [n_meas], entropies [n_meas, L+1], max_chi
+    [n_meas], trunc_err [n_meas], and optionally the full state history.
+
+    measure_every=m > 1 evolves m periods per scan step and computes
+    observables ONLY at measurement points (the round-1 version computed
+    them every period and discarded host-side); requires
+    n_periods % m == 0.  trunc_err entries then hold the SUM over the m
+    periods of the block.  Each measurement is taken at period (j+1)*m.
 
     frame='merged' evolves in the half-step frame (kicked_ising.
     floquet_period_merged): one Ising sweep per period instead of two
@@ -58,6 +66,10 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
     sz_op = G.pauli_c("z", psi0.dtype)
     if ref_state is None:
         ref_state = psi0
+    m = int(measure_every)
+    if m < 1 or n_periods % m != 0:
+        raise ValueError(f"measure_every={m} must divide n_periods={n_periods}")
+    n_meas = n_periods // m
 
     if frame == "merged":
         if with_states:
@@ -69,8 +81,11 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
         phi_ref, _ = ising_half_step(ref_state, gates, tp)
         phi0, e0 = ising_half_step(psi0, gates, tp)
 
-        def period_fn(phi, _):
-            phi, err = floquet_period_merged(phi, gates, tp)
+        def block_fn(phi, _):
+            err = jnp.zeros((), psi0.lam.dtype)
+            for _i in range(m):
+                phi, e = floquet_period_merged(phi, gates, tp)
+                err = err + e
             sz = expectation_one_site(phi, sz_op).re
             le = cpx.abs2(overlap(phi_ref, phi))
             ent = entanglement_entropy(phi)
@@ -80,13 +95,16 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
                        trunc_err=err)
             return phi, out
 
-        phi_final, traces = jax.lax.scan(period_fn, phi0, None,
-                                         length=n_periods)
+        phi_final, traces = jax.lax.scan(block_fn, phi0, None,
+                                         length=n_meas)
         psi_final, _ = ising_half_step_inverse(phi_final, gates, tp)
         return psi_final, traces
 
-    def period_fn(psi, _):
-        psi, err = floquet_period(psi, gates, tp)
+    def block_fn(psi, _):
+        err = jnp.zeros((), psi0.lam.dtype)
+        for _i in range(m):
+            psi, e = floquet_period(psi, gates, tp)
+            err = err + e
         sz = expectation_one_site(psi, sz_op).re
         le = cpx.abs2(overlap(ref_state, psi))
         ent = entanglement_entropy(psi)
@@ -97,7 +115,7 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
             out["states"] = psi
         return psi, out
 
-    psi_final, traces = jax.lax.scan(period_fn, psi0, None, length=n_periods)
+    psi_final, traces = jax.lax.scan(block_fn, psi0, None, length=n_meas)
     return psi_final, traces
 
 
