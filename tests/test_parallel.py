@@ -104,3 +104,65 @@ class TestPhaseGrid:
         m = KickedIsingModel(spec.L, 1.0, h_over_J, 1.0, disorder_seed=42)
         np.testing.assert_allclose(np.asarray(h_fields)[0], m.h_fields,
                                    atol=1e-12)
+
+
+class TestSiteSharding:
+    """Site-axis MPS sharding (sequence-parallel analog, SURVEY section 5):
+    sharded evolution must match the single-device path exactly."""
+
+    def _setup(self, L=16, chi=16, theta=0.92 * np.pi):
+        from timecrystal_tpu.core.mps import create_initial_state
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+        hf = draw_disorder_reference(L, 0.3, 42)
+        gates = make_floquet_gates(1.0, jnp.asarray(hf, jnp.float64), 0.9,
+                                   theta=theta, dtype=jnp.float64)
+        psi0 = create_initial_state(L, "neel", chi=chi, dtype=jnp.float64)
+        tp = TruncParams(chi_max=0, svd_min=1e-14, svd_method="native")
+        return psi0, gates, tp
+
+    def test_sharded_matches_single_device(self):
+        from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
+        from timecrystal_tpu.parallel.site_shard import (
+            evolve_floquet_sharded, site_mesh)
+        psi0, gates, tp = self._setup()
+        mesh = site_mesh(8)
+        for frame in ("strict", "merged"):
+            (Bf, lamf), tr = evolve_floquet_sharded(psi0, gates, 8, tp,
+                                                    mesh, frame=frame)
+            _, ref = evolve_floquet_scan(psi0, gates, 8, tp, frame=frame)
+            np.testing.assert_allclose(np.asarray(tr["sz_sites"]),
+                                       np.asarray(ref["sz_sites"]),
+                                       atol=1e-13)
+            np.testing.assert_allclose(np.asarray(tr["loschmidt_echo"]),
+                                       np.asarray(ref["loschmidt_echo"]),
+                                       atol=1e-13)
+            np.testing.assert_allclose(np.asarray(tr["trunc_err"]),
+                                       np.asarray(ref["trunc_err"]),
+                                       atol=1e-15)
+
+    def test_sharded_final_state_matches(self):
+        from timecrystal_tpu.core.mps import MPS, overlap
+        from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
+        from timecrystal_tpu.ops import cpx
+        from timecrystal_tpu.parallel.site_shard import (
+            evolve_floquet_sharded, site_mesh)
+        psi0, gates, tp = self._setup()
+        (Bf, lamf), _ = evolve_floquet_sharded(psi0, gates, 6, tp,
+                                               site_mesh(8))
+        ref_final, _ = evolve_floquet_scan(psi0, gates, 6, tp)
+        pad = jnp.zeros((1, lamf.shape[1]), lamf.dtype)
+        psi_sh = MPS(B=Bf, lam=jnp.concatenate(
+            [np.asarray(lamf), pad], axis=0))
+        ov = float(cpx.abs2(overlap(ref_final, psi_sh)))
+        np.testing.assert_allclose(ov, 1.0, atol=1e-12)
+
+    def test_rejects_bad_split(self):
+        import pytest
+
+        from timecrystal_tpu.parallel.site_shard import (
+            evolve_floquet_sharded, site_mesh)
+        psi0, gates, tp = self._setup(L=12)   # 12/8 not integral
+        with pytest.raises(ValueError):
+            evolve_floquet_sharded(psi0, gates, 2, tp, site_mesh(8))

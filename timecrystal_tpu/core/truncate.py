@@ -161,15 +161,15 @@ def apply_bond_gates(psi: MPS, gates: C, start: int, tp: TruncParams):
     return MPS(B=B, lam=lam), disc.astype(psi.lam.dtype)
 
 
-@partial(jax.jit, static_argnames=("bond", "tp"))
-def apply_single_bond_gate(psi: MPS, gate: C, bond: int, tp: TruncParams):
-    """Apply one two-site gate at a single (static) bond.
+def bond_update_core(Bl: C, Br: C, lamL: jax.Array, gate: C,
+                     tp: TruncParams):
+    """Two-site update on bare tensors: (Bl [chi,d,chi], Br, lamL [chi],
+    gate [d,d,d,d]) -> (Bl_new, Br_new, S_new, disc).
 
-    Used by the periodic-BC swap network and sweeped algorithms; the batched
-    ``apply_bond_gates`` remains the hot path.  Returns (psi, disc)."""
-    L, chi, d, _ = psi.B.re.shape
-    Bl, Br = psi.B[bond], psi.B[bond + 1]
-    lamL = psi.lam[bond]
+    The single-bond Hastings update shared by ``apply_single_bond_gate``
+    and the cross-device boundary bonds of the site-sharded sweep
+    (parallel/site_shard.py)."""
+    chi, d, _ = Bl.re.shape
     theta_tilde = cpx.einsum("apb,bqc->apqc", Bl, Br)
     theta_tilde = cpx.einsum("pqrs,arsc->apqc", gate, theta_tilde)
     theta = theta_tilde * lamL[:, None, None, None]
@@ -181,13 +181,24 @@ def apply_single_bond_gate(psi: MPS, gate: C, bond: int, tp: TruncParams):
     disc = jnp.sum(jnp.where(mask, 0.0, S_top * S_top)) + disc_tail
     nrm = jnp.maximum(jnp.sqrt(jnp.sum(S_kept * S_kept)), 1e-30)
     S_new = S_kept / nrm if tp.renormalize else S_kept
-    Vh_kept = Vh_top * mask[:, None].astype(psi.dtype)
+    Vh_kept = Vh_top * mask[:, None].astype(Bl.dtype)
     Br_new = Vh_kept.reshape(chi, d, chi)
     Mt = theta_tilde.reshape(chi * d, d * chi)
     Bl_new = cpx.einsum("ij,kj->ik", Mt, Vh_kept.conj())
     if tp.renormalize:
         Bl_new = Bl_new * (1.0 / nrm)
     Bl_new = Bl_new.reshape(chi, d, chi)
+    return Bl_new, Br_new, S_new, disc
+
+
+@partial(jax.jit, static_argnames=("bond", "tp"))
+def apply_single_bond_gate(psi: MPS, gate: C, bond: int, tp: TruncParams):
+    """Apply one two-site gate at a single (static) bond.
+
+    Used by the periodic-BC swap network and sweeped algorithms; the batched
+    ``apply_bond_gates`` remains the hot path.  Returns (psi, disc)."""
+    Bl_new, Br_new, S_new, disc = bond_update_core(
+        psi.B[bond], psi.B[bond + 1], psi.lam[bond], gate, tp)
     B = cpx.at_set(cpx.at_set(psi.B, bond, Bl_new), bond + 1, Br_new)
     lam = psi.lam.at[bond + 1].set(S_new.astype(psi.lam.dtype))
     return MPS(B=B, lam=lam), disc.astype(psi.lam.dtype)
