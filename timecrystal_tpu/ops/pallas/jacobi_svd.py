@@ -1,21 +1,28 @@
-"""One-sided complex Jacobi SVD as a Pallas TPU kernel.
+"""One-sided complex Jacobi SVD as Pallas TPU kernels.
 
-The blocked/parallel one-sided Jacobi from the BASELINE north star: the
-whole decomposition of one theta matrix runs INSIDE a single kernel with A
-and V resident in VMEM, eliminating the per-iteration dispatch overhead
-that dominates XLA's eigh on this backend (~150 ms per call regardless of
-size -- measured).  Unlike the Gram+eigh path it never squares the
-condition number (small sigma accurate to eps, not sqrt(eps)) and has no
-J-pairing step at all.
+The blocked/parallel one-sided Jacobi from the BASELINE north star: sweeps
+run INSIDE kernels with the matrices resident in VMEM, eliminating the
+per-iteration dispatch overhead that dominates XLA's eigh on this backend
+(~150 ms per call regardless of size -- measured).  Unlike the Gram+eigh
+path it never squares the condition number (small sigma accurate to eps,
+not sqrt(eps)) and has no J-pairing step at all.
 
 Algorithm (validated against LAPACK in baselines/jacobi_prototype.py):
 columns in two halves L | R paired elementwise; each parallel step
 orthogonalizes all n/2 pairs with complex Givens rotations, then the
 pairing rotates by the classic tournament (circle) scheme, realized as
 static slices + concats on values (the arrangement returns to the original
-order after each full sweep of n-1 steps).  Fixed sweep count (quadratic
-convergence); see ``jacobi_svd`` for the dtype- and workload-dependent
-sweep defaults.
+order after each full sweep of n-1 steps).
+
+Two kernels:
+  * ``jacobi_svd`` -- full (U, S, Vh), fixed sweep count, V accumulated
+    in-kernel (the round-1 design; kept for the general csvd API).
+  * ``jacobi_sv`` -- the TEBD hot path: (S, V) only via rotations on
+    theta^H (no V accumulator), incremental column norms, and an
+    XLA-level while_loop over one-sweep kernels that stops when the
+    sweep's convergence measure drops below tol.  ~1.35x the full kernel
+    at matched accuracy; see PERFORMANCE.md for the cost anatomy (the
+    sweep kernel is VMEM-bandwidth-bound).
 
 Complex arithmetic is explicit (re, im) pairs (no complex dtypes on TPU).
 """

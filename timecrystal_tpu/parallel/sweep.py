@@ -191,3 +191,28 @@ def _basis_indices(L: int, state_type: str) -> np.ndarray:
     if state_type == "all_down":
         return np.ones(L, np.int32)
     raise ValueError(f"Unknown state type for sweeps: {state_type}")
+
+
+def ensemble_a2t(traces, taus, series_key: str = "staggered_magnetization"):
+    """Per-realization subharmonic amplitudes A2T, entirely on device.
+
+    For large ensembles (10^3-10^4 realizations) the host round-trip of
+    every trace just to read one FFT bin dominates analysis time; this
+    evaluates the reference's A2T recipe (observables.
+    extract_subharmonic_amplitude) for the WHOLE batch in one device call
+    via the matmul DFT (ops/fft.py, parity-tested vs the host recipe).
+
+    Args:
+      traces: dict from evolve_batch / evolve_batch_sharded (leading axis =
+              realization), containing ``series_key`` [R, n+1].
+      taus:   [R] half-periods (drive period = 2 tau).
+
+    Returns [R] A2T values as a device array.
+    """
+    from ..ops.fft import batched_subharmonic_amplitude
+
+    series = jnp.asarray(traces[series_key])
+    R, n1 = series.shape
+    taus = jnp.asarray(taus, series.dtype)
+    times = jnp.arange(n1, dtype=series.dtype)[None, :] * (2.0 * taus)[:, None]
+    return batched_subharmonic_amplitude(times, series, 2.0 * taus)
