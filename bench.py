@@ -4,22 +4,29 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Two sanctioned metrics (BASELINE.json: "Floquet periods/sec at L=40 chi=256;
-disorder realizations/sec on v5e-8"):
-  * headline: aggregate chain-periods/sec of a small vmapped disorder batch
-    (R=2 saturates this chip) -- the chip-vs-single-core comparison;
-  * extra:    single-chain periods/sec (pure serial latency).
+Two regimes of the same workload (L=40 chi=256 entangling, theta=0.9pi),
+both measured, both compared window-matched against the recorded
+single-core CPU TEBD (baselines/cpu_tebd.py -- reference-equivalent
+serial NumPy/LAPACK TEBD with DYNAMIC per-bond rank, like TeNPy):
 
-vs_baseline divides by the recorded single-core CPU TEBD denominator
-(baselines/baseline_cpu.json from baselines/cpu_tebd.py -- a
-reference-equivalent serial NumPy/LAPACK TEBD; TeNPy itself is not
-installed in this image and is slower than the stand-in, so the reported
-ratio is conservative).
+  * headline "window": the benchmark run itself -- 20 periods from the
+    Neel state.  The theta rank stays < 64 for ~20 periods
+    (baselines/proj_leak_profile.py), the CPU stack exploits that
+    via dynamic shapes, and so do we via chi-staged evolution
+    (dynamics/tebd.evolve_floquet_auto: padded chi 32 -> 64 -> ...,
+    escalate-and-rerun on saturation -- identical observables).
+    vs_baseline divides by the CPU's own first-20-period throughput.
+  * extra "steady": saturated-chi throughput (10 periods started from
+    the period-40 state, chi pinned at 256) vs the CPU's steady tail --
+    the sustained-cost comparison with no transient in either number.
 
-The benchmark runs the ENTANGLING regime (theta = 0.9 pi) so the padded
-chi=256 genuinely fills and every bond update pays a full 512x512 complex
-SVD -- with the reference's exact-pi-pulse figure configs the dynamics
-stays rank-1 and both stacks would only measure bookkeeping overhead.
+The ENTANGLING regime (theta = 0.9 pi) is used so chi genuinely grows and
+every bond update pays a real SVD -- with the reference's exact-pi-pulse
+figure configs the dynamics stays rank-1 and both stacks would only
+measure bookkeeping overhead.
+
+TeNPy itself is not installed in this image; the recorded stand-in is
+faster than TeNPy, so the reported ratios are conservative.
 """
 
 from __future__ import annotations
@@ -31,27 +38,58 @@ import time
 import numpy as np
 
 CONFIG = dict(L=40, chi=256, theta_frac=0.9, h=0.3, tau=1.0, seed=42)
-N_PERIODS_SINGLE = 20
-N_PERIODS_BATCH = 10
-BATCH_R = 2
+N_WINDOW = 20           # the benchmark window (periods from t=0)
+N_STEADY = 10           # timed steady-state periods (from period 40)
+N_SETTLE = 40           # periods evolved (staged) to reach saturation
+CHI_START = 32
+CHUNK = 5
 if os.environ.get("TCT_BENCH_QUICK"):
     # contract smoke mode (tests/test_tpu_smoke.py): tiny shapes, same
     # code path and output format
     CONFIG = dict(L=12, chi=32, theta_frac=0.9, h=0.3, tau=1.0, seed=42)
-    N_PERIODS_SINGLE = 5
-    N_PERIODS_BATCH = 3
+    N_WINDOW = 5
+    N_STEADY = 3
+    N_SETTLE = 5
+    CHI_START = 16
+    CHUNK = 5
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baselines", "baseline_cpu.json")
-# steady-state denominator (60-period run, tail=10; the 30-period tail in
-# round 1 was still mid-chi-ramp and understated CPU speed)
+# steady-state denominator (60-period run, tail=10; per-period series used
+# for the window-matched transient denominator)
 BASELINE_KEY = "L40_chi256_theta0.9pi_steady"
 
 
-def run_single(n_periods: int) -> float:
-    import jax
+def _model_kwargs() -> dict:
+    cfg = CONFIG
+    return dict(n_sites=cfg["L"], J=1.0, h_disorder=cfg["h"],
+                tau=cfg["tau"], disorder_seed=cfg["seed"],
+                theta=cfg["theta_frac"] * np.pi)
+
+
+def run_window(n_periods: int) -> float:
+    """Chi-staged 20-period run from t=0 (the benchmark workload itself)."""
+    from timecrystal_tpu.core.truncate import TruncParams
+    from timecrystal_tpu.dynamics.tebd import evolve_floquet_auto
+
+    tp = TruncParams(chi_max=0, svd_min=1e-7)
+
+    def once() -> float:
+        t0 = time.time()
+        _, _, info, _ = evolve_floquet_auto(
+            _model_kwargs(), "neel", n_periods, tp,
+            chi_start=CHI_START, chi_limit=CONFIG["chi"],
+            chunk_periods=CHUNK, frame="merged")
+        return n_periods / (time.time() - t0)
+
+    once()                         # warmup: compiles every stage program
+    return max(once() for _ in range(3))
+
+
+def _steady_state():
+    """Evolve (staged, cheap) to period N_SETTLE; return (psi, gates)."""
     import jax.numpy as jnp
 
-    from timecrystal_tpu.core.mps import create_initial_state
+    from timecrystal_tpu.core.mps import create_initial_state, pad_mps
     from timecrystal_tpu.core.truncate import TruncParams
     from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
     from timecrystal_tpu.models.kicked_ising import (draw_disorder_reference,
@@ -62,69 +100,60 @@ def run_single(n_periods: int) -> float:
     gates = make_floquet_gates(1.0, jnp.asarray(h_fields, jnp.float32),
                                cfg["tau"], theta=cfg["theta_frac"] * np.pi,
                                dtype=jnp.float32)
-    psi0 = create_initial_state(cfg["L"], "neel", chi=cfg["chi"],
-                                dtype=jnp.float32)
     tp = TruncParams(chi_max=0, svd_min=1e-7)
-    # half-step merged frame: one Ising sweep per period instead of two;
-    # sz/staggered/LE traces are EXACTLY the strict-frame values
-    # (models/kicked_ising.floquet_period_merged -- verified to 1e-14 in f64)
-    # warmup at the SAME length (n_periods is a static scan parameter, so a
-    # different length is a different XLA program -- a 2-period warmup would
-    # leave the timed call to compile on a cold cache)
-    _, tr = evolve_floquet_scan(psi0, gates, n_periods, tp, frame="merged")
-    np.asarray(tr["loschmidt_echo"])
-    t0 = time.time()
-    _, tr = evolve_floquet_scan(psi0, gates, n_periods, tp, frame="merged")
-    np.asarray(tr["loschmidt_echo"])
-    return n_periods / (time.time() - t0)
+    psi = create_initial_state(cfg["L"], "neel", chi=cfg["chi"],
+                               dtype=jnp.float32)
+    psi, _ = evolve_floquet_scan(psi, gates, N_SETTLE, tp, frame="merged")
+    return psi, gates, tp
 
 
-def run_batched(R: int, n_periods: int) -> float:
-    import jax
-    import jax.numpy as jnp
+def run_steady(n_periods: int) -> float:
+    from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
 
-    from timecrystal_tpu.core.truncate import TruncParams
-    from timecrystal_tpu.models.kicked_ising import draw_disorder_batch
-    from timecrystal_tpu.parallel.sweep import (SweepSpec, _basis_indices,
-                                                evolve_batch)
-
-    cfg = CONFIG
-    spec = SweepSpec(L=cfg["L"], chi=cfg["chi"], n_periods=n_periods,
-                     theta=cfg["theta_frac"] * float(np.pi),
-                     tp=TruncParams(chi_max=0, svd_min=1e-7),
-                     dtype="float32", frame="merged")
-    basis = jnp.asarray(_basis_indices(cfg["L"], "neel"))
-    h = draw_disorder_batch(jax.random.PRNGKey(cfg["seed"]), R, cfg["L"],
-                            cfg["h"])
-    taus = jnp.full((R,), cfg["tau"])
-    tr = evolve_batch(h, taus, basis, spec)              # warmup/compile
-    np.asarray(tr["loschmidt_echo"])
-    t0 = time.time()
-    tr = evolve_batch(h, taus, basis, spec)
-    np.asarray(tr["loschmidt_echo"])
-    return R * n_periods / (time.time() - t0)
+    psi, gates, tp = _steady_state()
+    _, tr = evolve_floquet_scan(psi, gates, n_periods, tp, frame="merged")
+    np.asarray(tr["loschmidt_echo"])         # sync (block_until_ready is a
+    best = 0.0                               # no-op through the axon tunnel)
+    for _ in range(3):
+        t0 = time.time()
+        _, tr = evolve_floquet_scan(psi, gates, n_periods, tp,
+                                    frame="merged")
+        np.asarray(tr["loschmidt_echo"])
+        best = max(best, n_periods / (time.time() - t0))
+    return best
 
 
 def main() -> None:
     from timecrystal_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    # device-tunnel timing is noisy: best of 3 repeats per metric
-    single = max(run_single(N_PERIODS_SINGLE) for _ in range(3))
-    aggregate = max(run_batched(BATCH_R, N_PERIODS_BATCH) for _ in range(3))
-    denom = None
-    if os.path.exists(BASELINE_PATH):
+
+    window = run_window(N_WINDOW)
+    steady = run_steady(N_STEADY)
+
+    denom_window = denom_steady = None
+    # quick mode runs a tiny config: the recorded L=40 denominators do not
+    # apply, so vs_baseline stays None (the contract test checks keys only)
+    if not os.environ.get("TCT_BENCH_QUICK") and os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as f:
-            denom = json.load(f).get(BASELINE_KEY, {}).get(
-                "periods_per_second_tail")
+            base = json.load(f).get(BASELINE_KEY, {})
+        denom_steady = base.get("periods_per_second_tail")
+        pp = base.get("per_period_seconds")
+        if pp and len(pp) >= N_WINDOW:
+            denom_window = N_WINDOW / sum(pp[:N_WINDOW])
+
     print(json.dumps({
-        "metric": "ensemble_chain_periods_per_sec_L40_chi256_entangling",
-        "value": round(aggregate, 4),
-        "unit": "chain-periods/s (vmapped R=%d, one v5e chip)" % BATCH_R,
-        "vs_baseline": round(aggregate / denom, 3) if denom else None,
-        "single_chain_periods_per_sec": round(single, 4),
-        "single_chain_vs_baseline": round(single / denom, 3) if denom else None,
-        "baseline": "single-core NumPy/LAPACK TEBD (reference-equivalent), "
-                    "%.4f periods/s" % denom if denom else None,
+        "metric": "window_periods_per_sec_L40_chi256_entangling",
+        "value": round(window, 4),
+        "unit": "periods/s (20-period benchmark window, chi-staged, "
+                "one v5e chip)",
+        "vs_baseline": round(window / denom_window, 3) if denom_window
+        else None,
+        "steady_periods_per_sec": round(steady, 4),
+        "steady_vs_baseline": round(steady / denom_steady, 3)
+        if denom_steady else None,
+        "baseline": "single-core NumPy/LAPACK TEBD (reference-equivalent, "
+                    "dynamic rank); window %.4f p/s, steady %.4f p/s"
+                    % (denom_window or 0.0, denom_steady or 0.0),
     }))
 
 

@@ -102,6 +102,38 @@ class TestChiEscalation:
         # at the final level the evolution is the one reported
         assert traces["sz_sites"].shape == (9, 8)
 
+    def test_staged_merged_matches_fixed_strict(self):
+        """The bench path (chi-staged + merged frame) reproduces the
+        fixed-full-chi strict-frame observables exactly: escalation re-runs
+        saturated chunks from the still-exact pre-chunk state, and the
+        half-step frame leaves sz/staggered/LE invariant."""
+        from timecrystal_tpu.core.mps import create_initial_state
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.models.kicked_ising import (
+            KickedIsingModel, draw_disorder_reference, make_floquet_gates)
+
+        kwargs = dict(n_sites=10, J=1.0, h_disorder=0.3, tau=1.1,
+                      disorder_seed=11, theta=0.9 * np.pi, dtype=DTYPE)
+        n = 10
+        tp_d = {"chi_max": 0, "svd_min": 1e-12}
+        traces, times, info, model = evolve_floquet_auto(
+            kwargs, "neel", n, tp_d, chi_start=4, chi_limit=32,
+            chunk_periods=3, frame="merged")
+        assert info["chi_pad_used"] > 4       # staging actually exercised
+
+        hf = draw_disorder_reference(10, 0.3, 11)
+        gates = make_floquet_gates(1.0, jnp.asarray(hf, DTYPE), 1.1,
+                                   theta=0.9 * np.pi, dtype=DTYPE)
+        psi0 = create_initial_state(10, "neel", chi=32, dtype=DTYPE)
+        _, ref = evolve_floquet_scan(psi0, gates, n,
+                                     TruncParams.from_dict(tp_d),
+                                     frame="strict")
+        np.testing.assert_allclose(traces["sz_sites"][1:],
+                                   np.asarray(ref["sz_sites"]), atol=1e-9)
+        np.testing.assert_allclose(traces["loschmidt_echo"][1:],
+                                   np.asarray(ref["loschmidt_echo"]),
+                                   atol=1e-9)
+
 
 class TestMeasureEvery:
     """In-scan sparse measurement: observables computed only at measurement

@@ -219,18 +219,28 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
                         trunc_params: dict | TruncParams | None = None,
                         chi_start: int = 16, chi_limit: int = 256,
                         measure_every: int = 1, chunk_periods: int = 16,
-                        checkpoint_dir: str | None = None):
+                        checkpoint_dir: str | None = None,
+                        frame: str = "strict"):
     """Chi-escalation driver: evolve at a small padded chi and escalate to
     2x whenever the effective bond dimension saturates the padding.
 
     Fixed-shape XLA programs cannot grow chi adaptively the way the
-    reference's TeNPy objects do; this host-side loop recovers the adaptive
-    behavior.  Evolution proceeds in chunks of ``chunk_periods``; when a
-    chunk saturates the padding, the PRE-CHUNK state (still exact) is
-    zero-padded to the doubled chi (core/mps.pad_mps) and only that chunk
-    re-runs -- no restart from t=0.  For the reference's exact-pi-pulse
-    configs the dynamics stays rank-1 and the first (cheapest) level always
-    suffices.
+    reference's TeNPy objects do (reference src/dynamics/tebd_evolution.py
+    lets TeNPy grow chi per bond); this host-side loop recovers the
+    adaptive behavior -- and with it the large transient win: the
+    entangling L=40 workload's theta rank stays < 64 for ~20 periods
+    (baselines/proj_leak_profile.py), so padding at the final chi from
+    t=0 pays ~(chi/rank)^3 wasted kernel work.  Evolution proceeds in
+    chunks of ``chunk_periods``; when a chunk saturates the padding, the
+    PRE-CHUNK state (still exact) is zero-padded to the doubled chi
+    (core/mps.pad_mps) and only that chunk re-runs -- no restart from t=0.
+    For the reference's exact-pi-pulse configs the dynamics stays rank-1
+    and the first (cheapest) level always suffices.
+
+    frame='merged' runs each chunk in the half-step Floquet frame (one
+    Ising sweep per period instead of two; sz/staggered/LE traces exact,
+    entropy/chi traces mid-frame) at ~0.5/chunk_periods relative overhead
+    for the frame entry/exit half-steps per chunk.
 
     ``checkpoint_dir``: when set, the running state is persisted after each
     completed chunk (utils/checkpoint.save_state) and an interrupted run
@@ -280,10 +290,18 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
         n = min(chunk_periods, n_periods - p_done)
         # LE referenced to the t=0 state, not the chunk start
         psi_next, tr = evolve_floquet_scan(psi, model.gates, n, tp,
-                                           ref_state=psi0)
-        tr = {k: np.asarray(v) for k, v in tr.items()}
-        saturated = int(np.max(tr["max_chi"])) >= chi
-        if saturated and chi < cap:
+                                           ref_state=psi0, frame=frame)
+        # ONE host round-trip for the whole chunk (each np.asarray pays a
+        # ~25 ms tunnel latency; the traces dict has 5 arrays)
+        tr, exit_lam = jax.device_get((tr, psi_next.lam))
+        # saturation check: in-chunk max chi, plus the chunk-exit state's
+        # own bond dims (the merged frame's exit half-step can raise chi
+        # past the mid-frame trace maximum)
+        exit_chi = int(np.max(np.sum(exit_lam > 0, axis=-1)))
+        peak_chi = max(int(np.max(tr["max_chi"])), exit_chi)
+        if peak_chi >= chi and chi < cap:
+            # saturated: the chunk may have truncated real weight -> discard
+            # it and re-run from the (still exact) pre-chunk state at 2x chi
             new_chi = min(chi * 2, cap)
             escalations.append({"period": p_done, "from": chi, "to": new_chi})
             n_rerun += n
@@ -292,6 +310,17 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
             psi = pad_mps(psi, chi)
             psi0 = pad_mps(psi0, chi)
             continue                      # re-run this chunk at the new chi
+        if peak_chi >= (3 * chi) // 4 and chi < cap:
+            # escalate-ahead: the chunk is still exact (padding not hit), so
+            # KEEP it and grow chi for the next chunk -- avoids the re-run
+            # that waiting for saturation would cost
+            new_chi = min(chi * 2, cap)
+            escalations.append({"period": p_done + n, "from": chi,
+                                "to": new_chi, "ahead": True})
+            chi = new_chi
+            model = KickedIsingModel(chi=chi, **model_kwargs)
+            psi_next = pad_mps(psi_next, chi)
+            psi0 = pad_mps(psi0, chi)
         psi = psi_next
         chunks.append(tr)
         p_done += n

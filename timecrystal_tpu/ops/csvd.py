@@ -369,13 +369,22 @@ def csvd_topk(theta: C, k: int, method: str = "auto", n_power: int = 2,
         if jax.default_backend() == "cpu":
             method = "native"
         else:
-            # Measured on the axon TPU (L=40, chi=256 workload): at 6
-            # sweeps (sufficient for TEBD thetas, see jacobi_svd docstring)
-            # the Pallas Jacobi kernel beats the batched gram_eigh on BOTH
-            # single-chain latency (~6x) and vmapped-ensemble throughput
-            # (~2x); gram_eigh remains the default for small matrices
-            # where the eigh is cheap and batching amortizes it.
-            method = "jacobi" if n >= 256 else "gram_eigh"
+            # Measured on the axon TPU: the Pallas Jacobi kernel beats the
+            # batched gram_eigh at n=512 always (~6x single-chain), and at
+            # SMALL batch sizes at every n (batch 20: 9.2 vs 17.8 ms at
+            # n=64, 16.6 vs 46.5 at n=128, 34 vs 222 at n=256 -- the
+            # backend's eigh has a large flat cost).  gram_eigh stays the
+            # pick only for LARGE batches of small matrices (the vmapped
+            # phase-grid sweeps: one big eigh amortizes over ~1000
+            # matrices, while the Jacobi kernel's VPU time grows linearly
+            # with batch).
+            bsz = 1
+            for s in theta.shape[:-2]:
+                bsz *= int(s)
+            small_batch = bsz <= 64
+            method = ("jacobi" if n % 2 == 0 and
+                      (n >= 256 or (small_batch and m == n and n >= 32))
+                      else "gram_eigh")
 
     if method in ("jacobi", "jacobi_full"):
         # Pallas one-sided Jacobi kernel (whole batch in one call).  The

@@ -113,7 +113,26 @@ def evolve_batch(h_fields: jax.Array, taus: jax.Array, basis_indices: jax.Array,
 
     Returns a dict of stacked traces with leading batch axis [R, ...].
     """
+    spec = _resolve_svd_method(spec, h_fields.shape[0])
     return jax.vmap(lambda h, t: _traces_one(h, t, basis_indices, spec))(h_fields, taus)
+
+
+def _resolve_svd_method(spec: SweepSpec, R: int) -> SweepSpec:
+    """Resolve svd_method='auto' with the VMAP batch size in view.
+
+    csvd_topk's own 'auto' rule sees only the per-realization shape when
+    traced under vmap (the leading R axis is invisible to it), so large
+    sweeps of small-chi points would route to the Jacobi kernel whose VPU
+    time grows linearly with the batch.  Resolve here instead: jacobi for
+    n = 2*chi >= 256 (wins at any batch) or genuinely small total batches,
+    the amortized batched gram_eigh otherwise."""
+    if spec.tp.svd_method != "auto" or jax.default_backend() == "cpu":
+        return spec
+    n = 2 * spec.chi
+    total = R * max(spec.L - 1, 1)
+    method = "jacobi" if n % 2 == 0 and (n >= 256 or (total <= 64 and n >= 32)) \
+        else "gram_eigh"
+    return spec._replace(tp=spec.tp._replace(svd_method=method))
 
 
 def default_mesh(axis_name: str = "batch", devices=None) -> Mesh:
