@@ -67,6 +67,45 @@ class TestBatchedEvolution:
             np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                        atol=1e-12)
 
+    def test_batch_auto_matches_fixed_chi(self):
+        """Chi-staged ensemble evolution (evolve_batch_auto) reproduces the
+        fixed-full-chi batch observables exactly: escalation re-runs
+        saturated chunks from still-exact states, so staging is numerically
+        invisible.  Entangling theta so the staging actually escalates."""
+        from timecrystal_tpu.parallel.sweep import evolve_batch_auto
+
+        spec = _spec(L=10, chi=32, n=10, theta=0.9 * float(np.pi))
+        rng = np.random.default_rng(3)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (3, spec.L)))
+        taus = jnp.asarray(rng.uniform(0.9, 1.2, 3))
+        basis = jnp.asarray(_basis_indices(spec.L, "neel"))
+        ref = evolve_batch(hf, taus, basis, spec)
+        tr, info = evolve_batch_auto(hf, taus, basis, spec, chi_start=4,
+                                     chunk_periods=3)
+        assert info["chi_pad_used"] > 4          # staging exercised
+        for k in ("sz_sites", "loschmidt_echo", "staggered_magnetization"):
+            np.testing.assert_allclose(tr[k], np.asarray(ref[k]), atol=1e-9)
+
+    def test_batch_auto_merged_frame(self):
+        """Merged-frame staged ensemble: sz/LE traces match the strict
+        fixed-chi batch (the half-step frame is observable-exact)."""
+        from timecrystal_tpu.parallel.sweep import evolve_batch_auto
+
+        spec = _spec(L=8, chi=16, n=6, theta=0.9 * float(np.pi))
+        rng = np.random.default_rng(7)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (2, spec.L)))
+        taus = jnp.asarray([1.0, 1.15])
+        basis = jnp.asarray(_basis_indices(spec.L, "neel"))
+        ref = evolve_batch(hf, taus, basis, spec)
+        tr, _ = evolve_batch_auto(hf, taus, basis,
+                                  spec._replace(frame="merged"),
+                                  chi_start=4, chunk_periods=2)
+        np.testing.assert_allclose(tr["sz_sites"], np.asarray(ref["sz_sites"]),
+                                   atol=1e-9)
+        np.testing.assert_allclose(tr["loschmidt_echo"],
+                                   np.asarray(ref["loschmidt_echo"]),
+                                   atol=1e-9)
+
     def test_disorder_ensemble_shapes(self):
         spec = _spec(n=3)
         tr = disorder_ensemble(jax.random.PRNGKey(5), 6, spec,

@@ -146,6 +146,39 @@ class TestCheckpointIntegration:
         np.testing.assert_allclose(tr_full["loschmidt_echo"],
                                    tr["loschmidt_echo"], rtol=0, atol=1e-12)
 
+    def test_evolve_batch_auto_kill_and_resume(self, tmp_path):
+        """Batched staged ensemble resumes from the last completed chunk:
+        a partial run (6 of 10 periods) followed by a full run through the
+        same checkpoint_dir reproduces the uncheckpointed traces."""
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.parallel.sweep import (SweepSpec, _basis_indices,
+                                                    evolve_batch_auto)
+
+        tp = TruncParams(chi_max=0, svd_min=1e-12, svd_method="native")
+        rng = np.random.default_rng(5)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (2, 8)))
+        taus = jnp.asarray([0.9, 1.05])
+        basis = jnp.asarray(_basis_indices(8, "neel"))
+
+        def spec(n):
+            return SweepSpec(L=8, chi=16, n_periods=n,
+                             theta=0.92 * float(np.pi), tp=tp,
+                             dtype="float64")
+
+        ref, info = evolve_batch_auto(hf, taus, basis, spec(10),
+                                      chi_start=8, chunk_periods=2)
+        assert info["chi_pad_used"] == 16
+
+        ckdir = str(tmp_path / "batch_ck")
+        evolve_batch_auto(hf, taus, basis, spec(6), chi_start=8,
+                          chunk_periods=2, checkpoint_dir=ckdir)
+        full, _ = evolve_batch_auto(hf, taus, basis, spec(10), chi_start=8,
+                                    chunk_periods=2, checkpoint_dir=ckdir)
+        np.testing.assert_allclose(full["loschmidt_echo"],
+                                   ref["loschmidt_echo"], rtol=0, atol=1e-12)
+        np.testing.assert_allclose(full["sz_sites"], ref["sz_sites"],
+                                   rtol=0, atol=1e-12)
+
     def test_orbax_state_roundtrip(self, tmp_path):
         from timecrystal_tpu.utils.checkpoint import (load_state, save_state,
                                                       state_exists)

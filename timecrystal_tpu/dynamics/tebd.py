@@ -215,6 +215,45 @@ class CustomFloquet:
         return states, times, info
 
 
+def _stage_err_tol(dtype) -> float:
+    """Escalation threshold on per-period truncation error for chi-staged
+    drivers: far above the dtype's SVD noise floor (junk discarded weight
+    ~ n * (eps * sigma_max)^2), far below any physically meaningful
+    truncation (the rank boundary discards >= 1e-6 weight when hit)."""
+    return 1e-8 if jnp.dtype(dtype) == jnp.dtype(jnp.float32) else 1e-20
+
+
+def _stage_decision(trunc_err, exit_lam, chi: int, err_tol: float):
+    """(saturated, ahead) escalation decision for chi-staged drivers.
+
+    ``saturated``: some period in the chunk discarded more than ``err_tol``
+    of squared Schmidt weight -- the padding truncated real entanglement
+    and the chunk must re-run wider.  ``ahead``: the chunk stayed exact but
+    the chunk-exit state's SIGNIFICANT rank (lam > 1e-5 x per-bond max;
+    f32 junk singular values sit at ~1e-6..1e-7 of sigma_max and must not
+    count) fills >= 15/16 of the padding -- grow before the next chunk
+    certainly truncates.
+
+    Two measured failure modes shaped these thresholds (L=40 chi=256
+    window, axon TPU):
+      * raw slot occupancy is the WRONG saturation criterion in f32: junk
+        sigmas pass the svd_min=1e-7 relative floor and fill every padded
+        slot within a few periods, forcing runaway escalation
+        (chi 32->64->128 inside the first 5 periods, true rank < 32);
+      * an EAGER ahead trigger (3/4 occupancy) is a net loss: a re-run
+        costs one chunk at the old (8x cheaper) chi, while escalating a
+        stage early costs every remaining period at the wider chi
+        (measured 13.6 vs 11.4 chain-p/s merely from the first fix; the
+        3/4 trigger still burned periods 5-20 at chi=128 when rank ~48
+        fit chi=64)."""
+    saturated = bool(np.max(np.asarray(trunc_err)) > err_tol)
+    lam = np.asarray(exit_lam)
+    lam_max = np.max(lam, axis=-1, keepdims=True)
+    sig = np.sum(lam > 1e-5 * lam_max, axis=-1)
+    ahead = bool(np.max(sig) >= (15 * chi) // 16)
+    return saturated, ahead
+
+
 def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
                         trunc_params: dict | TruncParams | None = None,
                         chi_start: int = 16, chi_limit: int = 256,
@@ -260,6 +299,7 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
 
     start = time.time()
     model = KickedIsingModel(chi=chi, **model_kwargs)
+    err_tol = _stage_err_tol(model.dtype)
     psi = create_initial_state(model.n_sites, state_type, chi=chi,
                                dtype=model.dtype)
     psi0 = psi
@@ -294,14 +334,16 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
         # ONE host round-trip for the whole chunk (each np.asarray pays a
         # ~25 ms tunnel latency; the traces dict has 5 arrays)
         tr, exit_lam = jax.device_get((tr, psi_next.lam))
-        # saturation check: in-chunk max chi, plus the chunk-exit state's
-        # own bond dims (the merged frame's exit half-step can raise chi
-        # past the mid-frame trace maximum)
-        exit_chi = int(np.max(np.sum(exit_lam > 0, axis=-1)))
-        peak_chi = max(int(np.max(tr["max_chi"])), exit_chi)
-        if peak_chi >= chi and chi < cap:
-            # saturated: the chunk may have truncated real weight -> discard
-            # it and re-run from the (still exact) pre-chunk state at 2x chi
+        # Escalation criteria (see _stage_decision): truncation error for
+        # the re-run trigger, significant chunk-exit occupancy for the
+        # grow-ahead trigger.  Slot counts alone misfire in f32: junk
+        # singular values ~eps*sigma_max pass the svd_min=1e-7 floor and
+        # fill the padding without carrying weight.
+        saturated, ahead = _stage_decision(tr["trunc_err"], exit_lam, chi,
+                                           err_tol)
+        if saturated and chi < cap:
+            # the chunk truncated real weight -> discard it and re-run from
+            # the (still exact) pre-chunk state at 2x chi
             new_chi = min(chi * 2, cap)
             escalations.append({"period": p_done, "from": chi, "to": new_chi})
             n_rerun += n
@@ -310,10 +352,10 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
             psi = pad_mps(psi, chi)
             psi0 = pad_mps(psi0, chi)
             continue                      # re-run this chunk at the new chi
-        if peak_chi >= (3 * chi) // 4 and chi < cap:
-            # escalate-ahead: the chunk is still exact (padding not hit), so
-            # KEEP it and grow chi for the next chunk -- avoids the re-run
-            # that waiting for saturation would cost
+        if ahead and chi < cap:
+            # escalate-ahead: the chunk is still exact (no real weight
+            # truncated), so KEEP it and grow chi for the next chunk --
+            # avoids the re-run that waiting for saturation would cost
             new_chi = min(chi * 2, cap)
             escalations.append({"period": p_done + n, "from": chi,
                                 "to": new_chi, "ahead": True})

@@ -135,6 +135,185 @@ def _resolve_svd_method(spec: SweepSpec, R: int) -> SweepSpec:
     return spec._replace(tp=spec.tp._replace(svd_method=method))
 
 
+@partial(jax.jit, static_argnames=("n", "tp", "frame"))
+def _chunk_batch(psi_b, gates_b, psi0_b, n: int, tp: TruncParams, frame: str):
+    from ..dynamics.tebd import evolve_floquet_scan
+
+    def one(p, g, r):
+        return evolve_floquet_scan(p, g, n, tp, ref_state=r, frame=frame)
+
+    return jax.vmap(one)(psi_b, gates_b, psi0_b)
+
+
+def _stage_tp(tp: TruncParams, chi: int, R: int, L: int) -> TruncParams:
+    """Per-stage svd_method resolution for the STAGED driver: always the
+    Pallas Jacobi kernel on TPU (any batch size).
+
+    The escalation criteria (tebd._stage_decision) read truncation error
+    and significant-rank occupancy off the SVD output; gram_eigh's junk
+    singular values (~sqrt(eps)*sigma_max = 3e-4 relative, vs the Jacobi
+    kernel's ~1e-6) sit above both thresholds and poison the schedule.
+    Measured on the L=40 chi=256 R=4 window (axon TPU): gram_eigh's noise
+    forces a spurious 32->64->128 escalation inside the first 5 periods
+    -> 13.2 chain-p/s; the jacobi-clean schedule holds chi=32 for 15
+    periods -> 61.7 chain-p/s.  Large fixed-chi sweeps where the
+    amortized batched eigh wins (phase grids) use evolve_batch, which
+    keeps the batch-aware rule (_resolve_svd_method)."""
+    if tp.svd_method != "auto" or jax.default_backend() == "cpu":
+        return tp
+    n = 2 * chi
+    method = "jacobi" if n % 2 == 0 and n >= 32 else "gram_eigh"
+    return tp._replace(svd_method=method)
+
+
+def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
+                      chi_start: int = 32, chunk_periods: int = 5,
+                      checkpoint_dir: str | None = None):
+    """Chi-staged batched Floquet evolution: the ensemble production path.
+
+    The batched analog of dynamics/tebd.evolve_floquet_auto (which the
+    reference gets for free from TeNPy's per-bond dynamic rank,
+    /root/reference/src/dynamics/tebd_evolution.py): all realizations share
+    ONE chi schedule so shapes stay static under vmap.  Evolution starts
+    padded at ``chi_start`` and proceeds in chunks; when ANY realization
+    saturates its padding the chunk re-runs from the (still exact)
+    pre-chunk state at doubled chi, and at 3/4 occupancy the schedule
+    escalates ahead without a re-run.  Because entanglement growth rates
+    are disorder-realization-similar, the shared schedule wastes little:
+    the whole ensemble rides the cheap low-chi stages through the
+    transient together.
+
+    ``checkpoint_dir``: when set, the batched state persists after each
+    completed chunk (utils/checkpoint.save_state handles the leading
+    realization axis transparently) and an interrupted run resumes from
+    the last checkpoint instead of t=0.
+
+    Returns (traces, info): traces as evolve_batch (leading axis R,
+    time axis n_periods+1 with the t=0 row prepended), info with
+    chi_pad_used / chi_escalations / n_rerun_periods / wall_time.
+    """
+    import os as _os
+    import time as _time
+
+    from ..core.mps import pad_mps
+    from ..dynamics.tebd import _stage_decision, _stage_err_tol
+
+    dtype = jnp.float32 if spec.dtype == "float32" else jnp.float64
+    err_tol = _stage_err_tol(dtype)
+    h_fields = jnp.asarray(h_fields)
+    taus = jnp.asarray(taus, dtype)
+    R = int(h_fields.shape[0])
+    L = spec.L
+    cap = min(spec.chi, spec.tp.chi_max) if spec.tp.chi_max else spec.chi
+    chi = min(chi_start, cap)
+    n_periods = spec.n_periods
+
+    start = _time.time()
+    gates = jax.vmap(lambda h, t: make_floquet_gates(
+        spec.J, h.astype(dtype), t, theta=spec.theta, dtype=dtype))(h_fields, taus)
+
+    def fresh(c):
+        p0 = product_state(jnp.asarray(basis_indices), chi=c, dtype=dtype)
+        return jax.tree.map(lambda x: jnp.broadcast_to(x, (R,) + x.shape), p0)
+
+    pad_batch = jax.vmap(pad_mps, in_axes=(0, None))
+    psi = fresh(chi)
+    psi0 = psi
+    p_done, n_rerun = 0, 0
+    escalations: list = []
+    chunks: list = []
+
+    if checkpoint_dir is not None:
+        from ..utils.checkpoint import load_state, save_state, state_exists
+        ck_state = _os.path.join(checkpoint_dir, "batch_auto_state")
+        ck_traces = _os.path.join(checkpoint_dir, "batch_auto_traces.npz")
+        if state_exists(ck_state) and _os.path.exists(ck_traces):
+            psi, meta = load_state(ck_state, dtype=dtype)
+            p_done = int(meta["p_done"])
+            chi = int(meta["chi"])
+            escalations = list(meta.get("escalations", []))
+            psi0 = fresh(chi)
+            with np.load(ck_traces) as z:
+                n_ck = int(meta["n_chunks"])
+                chunks = [{k: z[f"{k}__{i}"] for k in
+                           ("sz_sites", "loschmidt_echo", "entropies",
+                            "max_chi", "trunc_err")} for i in range(n_ck)]
+
+    while p_done < n_periods:
+        n = min(chunk_periods, n_periods - p_done)
+        tp = _stage_tp(spec.tp, chi, R, L)
+        psi_next, tr = _chunk_batch(psi, gates, psi0, n, tp, spec.frame)
+        tr, exit_lam = jax.device_get((tr, psi_next.lam))
+        # trunc-err / significant-rank escalation criteria (the batch
+        # shares one schedule: ANY realization's truncation escalates all)
+        saturated, ahead = _stage_decision(tr["trunc_err"], exit_lam, chi,
+                                           err_tol)
+        if saturated and chi < cap:
+            new_chi = min(chi * 2, cap)
+            escalations.append({"period": p_done, "from": chi, "to": new_chi})
+            n_rerun += n
+            chi = new_chi
+            psi = pad_batch(psi, chi)
+            psi0 = pad_batch(psi0, chi)
+            continue
+        if ahead and chi < cap:
+            new_chi = min(chi * 2, cap)
+            escalations.append({"period": p_done + n, "from": chi,
+                                "to": new_chi, "ahead": True})
+            chi = new_chi
+            psi_next = pad_batch(psi_next, chi)
+            psi0 = pad_batch(psi0, chi)
+        psi = psi_next
+        chunks.append(tr)
+        p_done += n
+        if checkpoint_dir is not None:
+            save_state(ck_state, psi,
+                       {"p_done": p_done, "chi": chi,
+                        "escalations": escalations,
+                        "n_chunks": len(chunks)})
+            flat = {}
+            for i, c in enumerate(chunks):
+                for k in ("sz_sites", "loschmidt_echo", "entropies",
+                          "max_chi", "trunc_err"):
+                    flat[f"{k}__{i}"] = c[k]
+            np.savez_compressed(ck_traces, **flat)
+
+    wall_time = _time.time() - start
+    cat = {k: np.concatenate([c[k] for c in chunks], axis=1)
+           for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi",
+                     "trunc_err")}
+    basis = np.asarray(basis_indices)
+    sz0 = np.broadcast_to((1.0 - 2.0 * basis).astype(cat["sz_sites"].dtype),
+                          (R, L))
+    traces = {
+        "sz_sites": np.concatenate([sz0[:, None, :], cat["sz_sites"]], axis=1),
+        "loschmidt_echo": np.concatenate(
+            [np.ones((R, 1), cat["loschmidt_echo"].dtype),
+             cat["loschmidt_echo"]], axis=1),
+        "max_chi": np.concatenate(
+            [np.ones((R, 1), cat["max_chi"].dtype), cat["max_chi"]], axis=1),
+        "entropy_mid": np.concatenate(
+            [np.zeros((R, 1), cat["entropies"].dtype),
+             cat["entropies"][:, :, L // 2]], axis=1),
+        "trunc_err": np.concatenate(
+            [np.zeros((R, 1), cat["trunc_err"].dtype), cat["trunc_err"]],
+            axis=1),
+    }
+    traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
+    signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
+    traces["staggered_magnetization"] = \
+        (traces["sz_sites"] * signs[None, None, :]).sum(axis=-1) / L
+    info = {
+        "wall_time": wall_time,
+        "chain_periods_per_second": R * n_periods / wall_time
+        if wall_time > 0 else float("inf"),
+        "chi_pad_used": chi,
+        "chi_escalations": escalations,
+        "n_rerun_periods": n_rerun,
+    }
+    return traces, info
+
+
 def default_mesh(axis_name: str = "batch", devices=None) -> Mesh:
     """1D mesh over all local devices (v5e-8 slice or virtual CPU devices)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
