@@ -157,6 +157,40 @@ print(json.dumps(res))
 
 
 @tpu_only
+def test_staged_window_matches_fixed_chi_f32():
+    """The headline bench path (chi-staged vmapped ensemble, merged frame,
+    Jacobi kernel) reproduces fixed-full-chi strict-frame observables on
+    the compiled f32 pipeline: staging escalations and the half-step frame
+    must both be numerically invisible at the f32 error floor."""
+    out = _run_child("""
+import json, numpy as np, jax, jax.numpy as jnp
+from timecrystal_tpu.core.truncate import TruncParams
+from timecrystal_tpu.models.kicked_ising import draw_disorder_batch
+from timecrystal_tpu.parallel.sweep import (SweepSpec, _basis_indices,
+                                            evolve_batch, evolve_batch_auto)
+L, chi, n, R = 16, 64, 12, 2
+tp = TruncParams(chi_max=0, svd_min=1e-7)
+spec = SweepSpec(L=L, chi=chi, n_periods=n, theta=0.9 * float(np.pi),
+                 tp=tp, dtype="float32", frame="merged")
+h = draw_disorder_batch(jax.random.PRNGKey(3), R, L, 0.3)
+taus = jnp.full((R,), 1.0)
+basis = jnp.asarray(_basis_indices(L, "neel"))
+tr, info = evolve_batch_auto(h, taus, basis, spec, chi_start=8,
+                             chunk_periods=4)
+ref = evolve_batch(h, taus, basis, spec._replace(frame="strict"))
+d_sz = float(np.max(np.abs(tr["sz_sites"] - np.asarray(ref["sz_sites"]))))
+d_le = float(np.max(np.abs(tr["loschmidt_echo"]
+                           - np.asarray(ref["loschmidt_echo"]))))
+print(json.dumps({"d_sz": d_sz, "d_le": d_le,
+                  "chi_pad": info["chi_pad_used"],
+                  "n_esc": len(info["chi_escalations"])}))
+""")
+    assert out["n_esc"] >= 1, out          # staging actually exercised
+    assert out["d_sz"] < 5e-4, out
+    assert out["d_le"] < 5e-4, out
+
+
+@tpu_only
 def test_bench_contract_quick():
     """bench.py prints one JSON line with the required keys (tiny shapes
     via TCT_BENCH_QUICK; same code path as the driver's benchmark run)."""
