@@ -86,6 +86,28 @@ class TestBatchedEvolution:
         for k in ("sz_sites", "loschmidt_echo", "staggered_magnetization"):
             np.testing.assert_allclose(tr[k], np.asarray(ref[k]), atol=1e-9)
 
+    def test_batch_auto_sharded_matches_unsharded(self):
+        """Chi-staged ensemble over the 8-device mesh == unsharded staged
+        run (SPMD partitioning and mesh padding are numerically no-ops);
+        R=11 exercises the pad-to-mesh-multiple path."""
+        from timecrystal_tpu.parallel.sweep import evolve_batch_auto
+
+        assert len(jax.devices()) >= 8
+        spec = _spec(L=8, chi=16, n=6, theta=0.9 * float(np.pi))
+        R = 11
+        rng = np.random.default_rng(9)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (R, spec.L)))
+        taus = jnp.asarray(rng.uniform(0.9, 1.3, R))
+        basis = jnp.asarray(_basis_indices(spec.L, "neel"))
+        ref, _ = evolve_batch_auto(hf, taus, basis, spec, chi_start=4,
+                                   chunk_periods=2)
+        mesh = Mesh(np.asarray(jax.devices()[:8]), ("batch",))
+        out, info = evolve_batch_auto(hf, taus, basis, spec, chi_start=4,
+                                      chunk_periods=2, mesh=mesh)
+        assert out["sz_sites"].shape[0] == R
+        for k in ("sz_sites", "loschmidt_echo", "staggered_magnetization"):
+            np.testing.assert_allclose(out[k], ref[k], rtol=0, atol=1e-12)
+
     def test_batch_auto_merged_frame(self):
         """Merged-frame staged ensemble: sz/LE traces match the strict
         fixed-chi batch (the half-step frame is observable-exact)."""

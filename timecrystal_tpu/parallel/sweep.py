@@ -168,7 +168,8 @@ def _stage_tp(tp: TruncParams, chi: int, R: int, L: int) -> TruncParams:
 
 def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
                       chi_start: int = 32, chunk_periods: int = 5,
-                      checkpoint_dir: str | None = None):
+                      checkpoint_dir: str | None = None,
+                      mesh: Mesh | None = None, axis_name: str = "batch"):
     """Chi-staged batched Floquet evolution: the ensemble production path.
 
     The batched analog of dynamics/tebd.evolve_floquet_auto (which the
@@ -177,16 +178,25 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     ONE chi schedule so shapes stay static under vmap.  Evolution starts
     padded at ``chi_start`` and proceeds in chunks; when ANY realization
     saturates its padding the chunk re-runs from the (still exact)
-    pre-chunk state at doubled chi, and at 3/4 occupancy the schedule
-    escalates ahead without a re-run.  Because entanglement growth rates
-    are disorder-realization-similar, the shared schedule wastes little:
-    the whole ensemble rides the cheap low-chi stages through the
-    transient together.
+    pre-chunk state at doubled chi, and at 15/16 significant occupancy the
+    schedule escalates ahead without a re-run (tebd._stage_decision).
+    Because entanglement growth rates are disorder-realization-similar,
+    the shared schedule wastes little: the whole ensemble rides the cheap
+    low-chi stages through the transient together.
 
     ``checkpoint_dir``: when set, the batched state persists after each
     completed chunk (utils/checkpoint.save_state handles the leading
     realization axis transparently) and an interrupted run resumes from
     the last checkpoint instead of t=0.
+
+    ``mesh``: when set, the realization axis shards over the device mesh
+    (same SPMD structure as evolve_batch_sharded: each device evolves its
+    shard independently; the only cross-device traffic is parameter
+    scatter and trace gather, plus the per-chunk escalation decision on
+    the host).  The batch is padded to a mesh multiple with copies of the
+    first realization; padded rows are dropped from the returned traces
+    (they still participate in the shared chi schedule, as duplicates of
+    realization 0 they add no new escalation pressure).
 
     Returns (traces, info): traces as evolve_batch (leading axis R,
     time axis n_periods+1 with the t=0 row prepended), info with
@@ -202,6 +212,20 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     err_tol = _stage_err_tol(dtype)
     h_fields = jnp.asarray(h_fields)
     taus = jnp.asarray(taus, dtype)
+    R_out = int(h_fields.shape[0])
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        pad_r = (-R_out) % n_dev
+        if pad_r:
+            h_fields = jnp.concatenate(
+                [h_fields, jnp.tile(h_fields[:1], (pad_r, 1))])
+            taus = jnp.concatenate([taus, jnp.tile(taus[:1], (pad_r,))])
+        place = partial(jax.device_put,
+                        device=NamedSharding(mesh, P(axis_name)))
+        h_fields, taus = place(h_fields), place(taus)
+    else:
+        def place(x):
+            return x
     R = int(h_fields.shape[0])
     L = spec.L
     cap = min(spec.chi, spec.tp.chi_max) if spec.tp.chi_max else spec.chi
@@ -209,14 +233,17 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     n_periods = spec.n_periods
 
     start = _time.time()
-    gates = jax.vmap(lambda h, t: make_floquet_gates(
-        spec.J, h.astype(dtype), t, theta=spec.theta, dtype=dtype))(h_fields, taus)
+    gates = jax.tree.map(place, jax.vmap(lambda h, t: make_floquet_gates(
+        spec.J, h.astype(dtype), t, theta=spec.theta, dtype=dtype))(h_fields, taus))
 
     def fresh(c):
         p0 = product_state(jnp.asarray(basis_indices), chi=c, dtype=dtype)
-        return jax.tree.map(lambda x: jnp.broadcast_to(x, (R,) + x.shape), p0)
+        return jax.tree.map(
+            lambda x: place(jnp.broadcast_to(x, (R,) + x.shape)), p0)
 
-    pad_batch = jax.vmap(pad_mps, in_axes=(0, None))
+    def pad_batch(p, c):
+        return jax.tree.map(place, jax.vmap(pad_mps, in_axes=(0, None))(p, c))
+
     psi = fresh(chi)
     psi0 = psi
     p_done, n_rerun = 0, 0
@@ -303,9 +330,11 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
     traces["staggered_magnetization"] = \
         (traces["sz_sites"] * signs[None, None, :]).sum(axis=-1) / L
+    if R_out != R:                        # drop mesh-padding duplicates
+        traces = {k: v[:R_out] for k, v in traces.items()}
     info = {
         "wall_time": wall_time,
-        "chain_periods_per_second": R * n_periods / wall_time
+        "chain_periods_per_second": R_out * n_periods / wall_time
         if wall_time > 0 else float("inf"),
         "chi_pad_used": chi,
         "chi_escalations": escalations,
