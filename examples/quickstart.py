@@ -45,6 +45,35 @@ def main() -> None:
     print(f"staggered magnetization, first 6 periods: "
           f"{np.round(traces['staggered_magnetization'][:6], 3)}")
 
+    ensemble()
+
+
+def ensemble() -> None:
+    """Disorder ensemble, the production path: R realizations evolve as ONE
+    chi-staged vmapped program (pad small, escalate only when a chunk
+    truncates real weight), with per-realization A2T read off on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from timecrystal_tpu.parallel import SweepSpec, evolve_batch_auto
+    from timecrystal_tpu.parallel.sweep import _basis_indices, ensemble_a2t
+    from timecrystal_tpu.models.kicked_ising import draw_disorder_batch
+
+    R, L = 8, 20
+    spec = SweepSpec(L=L, chi=64, n_periods=60, theta=0.97 * float(np.pi),
+                     tp=TruncParams(chi_max=0, svd_min=1e-7),
+                     dtype="float32", frame="merged")
+    h = draw_disorder_batch(jax.random.PRNGKey(0), R, L, 0.3)
+    taus = jnp.full((R,), 1.0)
+    basis = jnp.asarray(_basis_indices(L, "neel"))
+    traces, info = evolve_batch_auto(h, taus, basis, spec, chi_start=16,
+                                     chunk_periods=10)
+    a2t = np.asarray(ensemble_a2t(traces, taus))
+    print(f"\nensemble of {R} disorder realizations "
+          f"({info['chain_periods_per_second']:.0f} chain-periods/s, "
+          f"chi staged to {info['chi_pad_used']}):")
+    print(f"A2T per realization: {np.round(a2t, 3)}")
+
 
 if __name__ == "__main__":
     main()

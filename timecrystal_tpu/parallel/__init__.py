@@ -10,10 +10,10 @@ Two orthogonal axes (SURVEY.md sections 2.3 and 5):
 
 from .site_shard import evolve_floquet_sharded, site_mesh
 from .sweep import (SweepSpec, default_mesh, disorder_ensemble, evolve_batch,
-                    evolve_batch_sharded, phase_grid_batch)
+                    evolve_batch_auto, evolve_batch_sharded, phase_grid_batch)
 
 __all__ = [
     "SweepSpec", "default_mesh", "disorder_ensemble", "evolve_batch",
-    "evolve_batch_sharded", "phase_grid_batch",
+    "evolve_batch_auto", "evolve_batch_sharded", "phase_grid_batch",
     "evolve_floquet_sharded", "site_mesh",
 ]
