@@ -135,6 +135,46 @@ class TestChiEscalation:
                                    atol=1e-9)
 
 
+class TestStageDecision:
+    """Unit tests for the chi-staging escalation criteria (the measured
+    f32 failure modes are documented in tebd._stage_decision)."""
+
+    def test_trunc_err_gates_saturation(self):
+        from timecrystal_tpu.dynamics.tebd import _stage_decision
+
+        lam = np.zeros((9, 16))
+        lam[:, 0] = 1.0
+        sat, ahead = _stage_decision(np.array([1e-12, 1e-10]), lam, 16, 1e-8)
+        assert not sat and not ahead          # noise-level truncation
+        sat, _ = _stage_decision(np.array([1e-12, 1e-6]), lam, 16, 1e-8)
+        assert sat                            # real weight lost
+
+    def test_junk_sigmas_do_not_trigger_ahead(self):
+        from timecrystal_tpu.dynamics.tebd import _stage_decision
+
+        # bond with 4 significant Schmidt values + 12 junk at 1e-6 of max:
+        # raw occupancy is 16/16, significant rank is 4 -> no ahead
+        lam = np.full((9, 16), 1e-6)
+        lam[:, :4] = 0.5
+        sat, ahead = _stage_decision(np.array([0.0]), lam, 16, 1e-8)
+        assert not sat and not ahead
+        # genuinely full significant occupancy (15/16) -> ahead
+        lam2 = np.full((9, 16), 0.1)
+        lam2[:, 15] = 0.0
+        _, ahead2 = _stage_decision(np.array([0.0]), lam2, 16, 1e-8)
+        assert ahead2
+
+    def test_batched_lam_axes(self):
+        from timecrystal_tpu.dynamics.tebd import _stage_decision
+
+        # [R, L+1, chi] batched exit lam: any realization's occupancy counts
+        lam = np.zeros((3, 9, 16))
+        lam[..., :2] = 0.3
+        lam[2, 4, :] = 0.2                    # one realization, one bond full
+        _, ahead = _stage_decision(np.zeros((3, 5)), lam, 16, 1e-8)
+        assert ahead
+
+
 class TestMeasureEvery:
     """In-scan sparse measurement: observables computed only at measurement
     periods (round-1 review: they were computed every period and the host
