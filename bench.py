@@ -9,7 +9,7 @@ both measured, both compared window-matched against the recorded
 single-core CPU TEBD (baselines/cpu_tebd.py -- reference-equivalent
 serial NumPy/LAPACK TEBD with DYNAMIC per-bond rank, like TeNPy):
 
-  * headline "ensemble window": the production workload -- R=8 disorder
+  * headline "ensemble window": the production workload -- R=16 disorder
     realizations, 20 periods each from the Neel state, evolved as ONE
     chi-staged vmapped program (parallel/sweep.evolve_batch_auto: padded
     chi 32 -> 64 -> ..., shared schedule, escalate on saturation --
@@ -47,7 +47,7 @@ CONFIG = dict(L=40, chi=256, theta_frac=0.9, h=0.3, tau=1.0, seed=42)
 N_WINDOW = 20           # the benchmark window (periods from t=0)
 N_STEADY = 10           # timed steady-state periods (from period 40)
 N_SETTLE = 40           # periods evolved (staged) to reach saturation
-ENSEMBLE_R = 8          # disorder realizations in the headline batch
+ENSEMBLE_R = 16         # disorder realizations in the headline batch
 CHI_START = 32
 CHUNK = 5
 if os.environ.get("TCT_BENCH_QUICK"):
