@@ -174,9 +174,35 @@ def main() -> None:
         if denom_steady else None,
         "baseline": "single-core NumPy/LAPACK TEBD (reference-equivalent, "
                     "dynamic rank); window %.4f p/s, steady %.4f p/s"
-                    % (denom_window or 0.0, denom_steady or 0.0),
+                    % (denom_window, denom_steady)
+                    if denom_window and denom_steady else None,
     }))
 
 
+def _main_with_retry() -> None:
+    """One fresh-process retry on device failure.
+
+    The axon TPU worker can crash/restart mid-run (observed once under a
+    heavy vmapped steady-state load); the wedged backend cannot recover
+    in-process, so on failure re-exec a fresh interpreter (fresh tunnel)
+    once before giving up.  The retried run reuses the persistent XLA
+    compilation cache, so it is warm."""
+    import sys
+    import traceback
+
+    try:
+        main()
+    except Exception:
+        if os.environ.get("TCT_BENCH_RETRIED"):
+            raise
+        traceback.print_exc()
+        print("bench: device failure; retrying once in a fresh process...",
+              file=sys.stderr)
+        time.sleep(120)
+        env = dict(os.environ, TCT_BENCH_RETRIED="1")
+        os.execve(sys.executable,
+                  [sys.executable, os.path.abspath(__file__)], env)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_retry()
