@@ -135,6 +135,19 @@ class TestBatchedEvolution:
         assert np.asarray(tr["sz_sites"]).shape == (6, 4, spec.L)
         assert np.asarray(tr["staggered_magnetization"]).shape == (6, 4)
 
+    def test_disorder_ensemble_staged_matches(self):
+        """staged=True routes through evolve_batch_auto with the same trace
+        contract and identical observables."""
+        spec = _spec(L=8, chi=16, n=6, theta=0.9 * float(np.pi))
+        ref = disorder_ensemble(jax.random.PRNGKey(5), 3, spec,
+                                h_disorder=0.3, tau=1.0)
+        tr = disorder_ensemble(jax.random.PRNGKey(5), 3, spec,
+                               h_disorder=0.3, tau=1.0, staged=True,
+                               chi_start=4, chunk_periods=2)
+        assert set(tr) == set(ref)
+        for k in ("sz_sites", "loschmidt_echo", "staggered_magnetization"):
+            np.testing.assert_allclose(tr[k], np.asarray(ref[k]), atol=1e-9)
+
 
 class TestPhaseGrid:
     def test_reference_rng_semantics(self):

@@ -378,14 +378,26 @@ def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
 
 def disorder_ensemble(key, n_realizations: int, spec: SweepSpec,
                       h_disorder: float, tau: float, state_type: str = "neel",
-                      mesh: Mesh | None = None):
+                      mesh: Mesh | None = None, staged: bool = False,
+                      chi_start: int = 32, chunk_periods: int = 5):
     """Batched disorder ensemble (BASELINE config disordered_time_crystal:
-    'random fields h_i, N disorder realizations vmapped')."""
+    'random fields h_i, N disorder realizations vmapped').
+
+    ``staged=True`` routes through the chi-staged driver
+    (evolve_batch_auto) -- the fast path for entangling transients (pads
+    small, escalates only on real truncation; 162x the CPU window on the
+    headline workload) -- and then returns ONLY the traces dict, same
+    contract as the fixed-chi path."""
     from ..models.kicked_ising import draw_disorder_batch
 
     h = draw_disorder_batch(key, n_realizations, spec.L, h_disorder)
     taus = jnp.full((n_realizations,), tau)
     basis = _basis_indices(spec.L, state_type)
+    if staged:
+        traces, _ = evolve_batch_auto(h, taus, jnp.asarray(basis), spec,
+                                      chi_start=chi_start,
+                                      chunk_periods=chunk_periods, mesh=mesh)
+        return traces
     if mesh is not None:
         return evolve_batch_sharded(h, taus, basis, spec, mesh)
     return evolve_batch(h, jnp.asarray(taus), jnp.asarray(basis), spec)
