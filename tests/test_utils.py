@@ -179,6 +179,21 @@ class TestCheckpointIntegration:
         np.testing.assert_allclose(full["sz_sites"], ref["sz_sites"],
                                    rtol=0, atol=1e-12)
 
+        # resume THROUGH a mesh: the loaded state re-shards and the
+        # completed prefix is not re-evolved
+        import jax
+        from jax.sharding import Mesh
+
+        ckdir2 = str(tmp_path / "batch_ck_mesh")
+        mesh = Mesh(np.asarray(jax.devices()[:2]), ("batch",))
+        evolve_batch_auto(hf, taus, basis, spec(6), chi_start=8,
+                          chunk_periods=2, checkpoint_dir=ckdir2, mesh=mesh)
+        full2, _ = evolve_batch_auto(hf, taus, basis, spec(10), chi_start=8,
+                                     chunk_periods=2, checkpoint_dir=ckdir2,
+                                     mesh=mesh)
+        np.testing.assert_allclose(full2["loschmidt_echo"],
+                                   ref["loschmidt_echo"], rtol=0, atol=1e-12)
+
     def test_orbax_state_roundtrip(self, tmp_path):
         from timecrystal_tpu.utils.checkpoint import (load_state, save_state,
                                                       state_exists)

@@ -256,6 +256,7 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
         ck_traces = _os.path.join(checkpoint_dir, "batch_auto_traces.npz")
         if state_exists(ck_state) and _os.path.exists(ck_traces):
             psi, meta = load_state(ck_state, dtype=dtype)
+            psi = jax.tree.map(place, psi)   # restore mesh sharding
             p_done = int(meta["p_done"])
             chi = int(meta["chi"])
             escalations = list(meta.get("escalations", []))
