@@ -25,7 +25,10 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_child(code: str, timeout: int = 560, env_extra: dict | None = None):
+def _run_child(code: str, timeout: int = 1100, env_extra: dict | None = None):
+    # timeout: the heavier children take ~4-6 min warm-cache but can reach
+    # ~9 min when another process holds the TPU (the tunnel serializes);
+    # 560 s produced flaky suite-level timeouts under contention.
     """Run `code` in a fresh interpreter using the DEFAULT jax platform
     (no forced CPU); returns the last JSON line of stdout."""
     env = dict(os.environ)
