@@ -3,10 +3,8 @@ figure workflows (reference tests/test_basic_functionality.py integration
 tiers, SURVEY.md section 4)."""
 
 import os
-import tempfile
 
 import numpy as np
-import pytest
 
 from timecrystal_tpu.analysis.detection import (physics_penalties,
                                                 score_phase_point,

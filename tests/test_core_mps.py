@@ -13,7 +13,7 @@ from timecrystal_tpu.ops import cpx
 from timecrystal_tpu.core import gates as G
 from timecrystal_tpu.core import mps as M
 from timecrystal_tpu.core import observables as obs
-from timecrystal_tpu.core.truncate import TruncParams, apply_bond_gates, apply_two_site_gate
+from timecrystal_tpu.core.truncate import TruncParams, apply_two_site_gate
 
 DTYPE = jnp.float64
 

@@ -16,7 +16,7 @@ import pytest
 from timecrystal_tpu.core.mps import create_initial_state
 from timecrystal_tpu.core import observables as obs
 from timecrystal_tpu.core.truncate import TruncParams
-from timecrystal_tpu.dynamics.tebd import CustomFloquet, evolve_floquet_scan
+from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
 from timecrystal_tpu.models.kicked_ising import KickedIsingModel
 
 DTYPE = jnp.float32  # perf tier runs at deployment precision

@@ -16,7 +16,7 @@ from timecrystal_tpu.core.mps import (MPS, create_initial_state,
                                       to_statevector)
 from timecrystal_tpu.core.truncate import TruncParams
 from timecrystal_tpu.dynamics.tdvp import (MPO, TDVPEvolution,
-                                           TDVPFloquetEvolution, build_mpo,
+                                           TDVPFloquetEvolution,
                                            ising_fields_mpo,
                                            lanczos_expm_apply, spin_chain_mpo,
                                            tdvp1_step, tdvp2_step)

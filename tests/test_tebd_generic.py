@@ -110,7 +110,7 @@ class TestChiEscalation:
         from timecrystal_tpu.core.mps import create_initial_state
         from timecrystal_tpu.core.truncate import TruncParams
         from timecrystal_tpu.models.kicked_ising import (
-            KickedIsingModel, draw_disorder_reference, make_floquet_gates)
+            draw_disorder_reference, make_floquet_gates)
 
         kwargs = dict(n_sites=10, J=1.0, h_disorder=0.3, tau=1.1,
                       disorder_seed=11, theta=0.9 * np.pi, dtype=DTYPE)

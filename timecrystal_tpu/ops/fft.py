@@ -21,8 +21,6 @@ device call; parity vs the host implementation is regression-tested.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
