@@ -12,7 +12,8 @@ serial NumPy/LAPACK TEBD with DYNAMIC per-bond rank, like TeNPy):
   * headline "ensemble window": the production workload -- R=16 disorder
     realizations, 20 periods each from the Neel state, evolved as ONE
     chi-staged vmapped program (parallel/sweep.evolve_batch_auto: padded
-    chi 32 -> 64 -> ..., shared schedule, escalate on saturation --
+    chi 32 -> 48 -> 72 -> ... (x1.5 ladder), shared schedule, escalate on
+    real truncation --
     observables identical to fixed-chi evolution).  The theta rank stays
     < 64 for ~20 periods (baselines/proj_leak_profile.py); the CPU stack
     exploits that via dynamic per-bond shapes, we via the staging, and
@@ -98,7 +99,7 @@ def run_ensemble_window(R: int, n_periods: int) -> float:
     def once() -> float:
         t0 = time.time()
         evolve_batch_auto(h, taus, basis, spec, chi_start=CHI_START,
-                          chunk_periods=CHUNK)
+                          chunk_periods=CHUNK, growth=1.5)
         return R * n_periods / (time.time() - t0)
 
     once()                         # warmup: compiles every stage program

@@ -179,7 +179,7 @@ h = draw_disorder_batch(jax.random.PRNGKey(3), R, L, 0.3)
 taus = jnp.full((R,), 1.0)
 basis = jnp.asarray(_basis_indices(L, "neel"))
 tr, info = evolve_batch_auto(h, taus, basis, spec, chi_start=8,
-                             chunk_periods=4)
+                             chunk_periods=4, growth=1.5)
 ref = evolve_batch(h, taus, basis, spec._replace(frame="strict"))
 d_sz = float(np.max(np.abs(tr["sz_sites"] - np.asarray(ref["sz_sites"]))))
 d_le = float(np.max(np.abs(tr["loschmidt_echo"]

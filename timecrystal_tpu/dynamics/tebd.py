@@ -215,6 +215,15 @@ class CustomFloquet:
         return states, times, info
 
 
+def _next_chi(chi: int, cap: int, growth: float) -> int:
+    """Next padded chi on the escalation ladder: ceil(chi * growth),
+    clamped to [chi+1, cap].  Any integer chi is legal (theta width
+    n = 2*chi is always even, which is all the Jacobi kernel needs);
+    growth < 2 trades extra stage compiles for tighter padding -- the
+    chunk re-run rule keeps any ladder exact."""
+    return min(cap, max(chi + 1, int(np.ceil(chi * growth))))
+
+
 def _stage_err_tol(dtype) -> float:
     """Escalation threshold on per-period truncation error for chi-staged
     drivers: far above the dtype's SVD noise floor (junk discarded weight
@@ -259,7 +268,7 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
                         chi_start: int = 16, chi_limit: int = 256,
                         measure_every: int = 1, chunk_periods: int = 16,
                         checkpoint_dir: str | None = None,
-                        frame: str = "strict"):
+                        frame: str = "strict", growth: float = 2.0):
     """Chi-escalation driver: evolve at a small padded chi and escalate to
     2x whenever the effective bond dimension saturates the padding.
 
@@ -344,7 +353,7 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
         if saturated and chi < cap:
             # the chunk truncated real weight -> discard it and re-run from
             # the (still exact) pre-chunk state at 2x chi
-            new_chi = min(chi * 2, cap)
+            new_chi = _next_chi(chi, cap, growth)
             escalations.append({"period": p_done, "from": chi, "to": new_chi})
             n_rerun += n
             chi = new_chi
@@ -352,11 +361,11 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
             psi = pad_mps(psi, chi)
             psi0 = pad_mps(psi0, chi)
             continue                      # re-run this chunk at the new chi
-        if ahead and chi < cap:
+        if ahead and chi < cap and p_done + n < n_periods:
             # escalate-ahead: the chunk is still exact (no real weight
             # truncated), so KEEP it and grow chi for the next chunk --
             # avoids the re-run that waiting for saturation would cost
-            new_chi = min(chi * 2, cap)
+            new_chi = _next_chi(chi, cap, growth)
             escalations.append({"period": p_done + n, "from": chi,
                                 "to": new_chi, "ahead": True})
             chi = new_chi

@@ -169,7 +169,8 @@ def _stage_tp(tp: TruncParams, chi: int, R: int, L: int) -> TruncParams:
 def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
                       chi_start: int = 32, chunk_periods: int = 5,
                       checkpoint_dir: str | None = None,
-                      mesh: Mesh | None = None, axis_name: str = "batch"):
+                      mesh: Mesh | None = None, axis_name: str = "batch",
+                      growth: float = 2.0):
     """Chi-staged batched Floquet evolution: the ensemble production path.
 
     The batched analog of dynamics/tebd.evolve_floquet_auto (which the
@@ -206,7 +207,8 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     import time as _time
 
     from ..core.mps import pad_mps
-    from ..dynamics.tebd import _stage_decision, _stage_err_tol
+    from ..dynamics.tebd import (_next_chi, _stage_decision,
+                                 _stage_err_tol)
 
     dtype = jnp.float32 if spec.dtype == "float32" else jnp.float64
     err_tol = _stage_err_tol(dtype)
@@ -277,15 +279,15 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
         saturated, ahead = _stage_decision(tr["trunc_err"], exit_lam, chi,
                                            err_tol)
         if saturated and chi < cap:
-            new_chi = min(chi * 2, cap)
+            new_chi = _next_chi(chi, cap, growth)
             escalations.append({"period": p_done, "from": chi, "to": new_chi})
             n_rerun += n
             chi = new_chi
             psi = pad_batch(psi, chi)
             psi0 = pad_batch(psi0, chi)
             continue
-        if ahead and chi < cap:
-            new_chi = min(chi * 2, cap)
+        if ahead and chi < cap and p_done + n < n_periods:
+            new_chi = _next_chi(chi, cap, growth)
             escalations.append({"period": p_done + n, "from": chi,
                                 "to": new_chi, "ahead": True})
             chi = new_chi
