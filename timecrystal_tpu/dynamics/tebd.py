@@ -216,12 +216,19 @@ class CustomFloquet:
 
 
 def _next_chi(chi: int, cap: int, growth: float) -> int:
-    """Next padded chi on the escalation ladder: ceil(chi * growth),
-    clamped to [chi+1, cap].  Any integer chi is legal (theta width
-    n = 2*chi is always even, which is all the Jacobi kernel needs);
-    growth < 2 trades extra stage compiles for tighter padding -- the
-    chunk re-run rule keeps any ladder exact."""
-    return min(cap, max(chi + 1, int(np.ceil(chi * growth))))
+    """Next padded chi on the escalation ladder: ceil(chi * growth)
+    rounded UP to a multiple of 4, clamped to [chi+4, cap].
+
+    growth < 2 trades extra stage compiles for tighter padding (the
+    bench's x1.5 ladder 32->48->72 measured 1.3x the x2 ladder); the
+    chunk re-run rule keeps any ladder exact.  chi is kept a multiple
+    of 4 so the Jacobi kernel width n = 2*chi is a multiple of 8, the
+    f32 sublane tile -- unaligned widths (n=324, 486) are verified
+    correct on the compiled kernel but aligned ones avoid padding
+    waste inside Mosaic."""
+    nc = int(np.ceil(chi * growth))
+    nc = ((nc + 3) // 4) * 4
+    return min(cap, max(chi + 4, nc))
 
 
 def _stage_err_tol(dtype) -> float:
