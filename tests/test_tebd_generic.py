@@ -135,6 +135,28 @@ class TestChiEscalation:
                                    atol=1e-9)
 
 
+    def test_seedless_disorder_pinned_across_escalation(self):
+        """disorder_seed=None with h_disorder>0: the fields drawn by the
+        FIRST model build must be reused bit-identically by every ladder
+        rebuild (round-2 VERDICT weak #2: a seedless run redrew fresh
+        fields from the global RNG at each escalation, silently changing
+        the Hamiltonian mid-run).  Proof: rerunning with the realized
+        fields passed explicitly reproduces the traces exactly."""
+        kwargs = dict(n_sites=8, J=1.0, h_disorder=0.3, tau=1.2,
+                      theta=0.85 * np.pi, dtype=DTYPE)  # no disorder_seed
+        traces, times, info, model = evolve_floquet_auto(
+            kwargs, "neel", 8, {"chi_max": 0, "svd_min": 1e-10},
+            chi_start=4, chi_limit=16, chunk_periods=2)
+        assert len(info["chi_escalations"]) >= 1  # ladder actually walked
+        kwargs2 = dict(kwargs, h_fields=np.asarray(model.h_fields))
+        traces2, _, info2, _ = evolve_floquet_auto(
+            kwargs2, "neel", 8, {"chi_max": 0, "svd_min": 1e-10},
+            chi_start=4, chi_limit=16, chunk_periods=2)
+        np.testing.assert_array_equal(traces["sz_sites"], traces2["sz_sites"])
+        np.testing.assert_array_equal(traces["loschmidt_echo"],
+                                      traces2["loschmidt_echo"])
+
+
 class TestStageDecision:
     """Unit tests for the chi-staging escalation criteria (the measured
     f32 failure modes are documented in tebd._stage_decision)."""

@@ -160,8 +160,14 @@ def score_grid(traces: Dict[str, np.ndarray], times, hs, Ts,
     for g in indices:
         le = le_all[g]
         if not np.all(np.isfinite(le)):
-            out.append(score_phase_point([np.nan], [0.0], [1], hs[g], Ts[g], 1.0))
-            out[-1]["success"] = False
+            # fully sanitized failure record: no NaN leaks into fields
+            # downstream consumers may aggregate (final_le etc.)
+            out.append({
+                "A2T": 0.0, "dtc_score_raw": 0.0, "disorder_penalty": 0.0,
+                "heating_penalty": 0.0, "adiabatic_penalty": 0.0,
+                "entanglement_penalty": 0.0, "avg_bond_dim": 1.0,
+                "final_le": 0.0, "success": False,
+            })
         else:
             t = times[g] if np.ndim(times) > 1 else times
             out.append(score_phase_point(le, t, chi_all[g], float(hs[g]),

@@ -34,11 +34,11 @@ from ..ops.cpx import C
 
 
 @partial(jax.jit, static_argnames=("n_periods", "tp", "with_states", "frame",
-                                   "measure_every"))
+                                   "measure_every", "measure_phase"))
 def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
                         tp: TruncParams, with_states: bool = False,
                         frame: str = "strict", ref_state: MPS | None = None,
-                        measure_every: int = 1):
+                        measure_every: int = 1, measure_phase: int = -1):
     """Scan U_F^n with in-scan observables.
 
     Returns (final MPS, traces) where traces hold per-measurement arrays
@@ -50,7 +50,12 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
     observables ONLY at measurement points (the round-1 version computed
     them every period and discarded host-side); requires
     n_periods % m == 0.  trunc_err entries then hold the SUM over the m
-    periods of the block.  Each measurement is taken at period (j+1)*m.
+    periods of the block.  measure_phase selects the period WITHIN each
+    block after which observables are taken (0-based; default -1 = last,
+    i.e. measurement j at period (j+1)*m).  measure_phase=0 reproduces the
+    reference's storage grid (periods 1, m+1, 2m+1, ...; tebd_evolution.
+    py:242-246 stores when period % measure_every == 0) -- that is what
+    ``CustomFloquet.evolve_floquet_traces`` uses.
 
     frame='merged' evolves in the half-step frame (kicked_ising.
     floquet_period_merged): one Ising sweep per period instead of two
@@ -70,6 +75,9 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
     if m < 1 or n_periods % m != 0:
         raise ValueError(f"measure_every={m} must divide n_periods={n_periods}")
     n_meas = n_periods // m
+    phase = (m - 1) if measure_phase < 0 else int(measure_phase)
+    if not 0 <= phase < m:
+        raise ValueError(f"measure_phase={measure_phase} outside block of {m}")
 
     if frame == "merged":
         if with_states:
@@ -83,16 +91,18 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
 
         def block_fn(phi, _):
             err = jnp.zeros((), psi0.lam.dtype)
+            out = None
             for _i in range(m):
                 phi, e = floquet_period_merged(phi, gates, tp)
                 err = err + e
-            sz = expectation_one_site(phi, sz_op).re
-            le = cpx.abs2(overlap(phi_ref, phi))
-            ent = entanglement_entropy(phi)
-            chi_eff = bond_dimensions(phi)
-            out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
-                       max_chi=jnp.max(chi_eff[1:-1], initial=1),
-                       trunc_err=err)
+                if _i == phase:
+                    sz = expectation_one_site(phi, sz_op).re
+                    le = cpx.abs2(overlap(phi_ref, phi))
+                    ent = entanglement_entropy(phi)
+                    chi_eff = bond_dimensions(phi)
+                    out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
+                               max_chi=jnp.max(chi_eff[1:-1], initial=1))
+            out["trunc_err"] = err
             return phi, out
 
         phi_final, traces = jax.lax.scan(block_fn, phi0, None,
@@ -102,17 +112,20 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
 
     def block_fn(psi, _):
         err = jnp.zeros((), psi0.lam.dtype)
+        out = None
         for _i in range(m):
             psi, e = floquet_period(psi, gates, tp)
             err = err + e
-        sz = expectation_one_site(psi, sz_op).re
-        le = cpx.abs2(overlap(ref_state, psi))
-        ent = entanglement_entropy(psi)
-        chi_eff = bond_dimensions(psi)
-        out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
-                   max_chi=jnp.max(chi_eff[1:-1], initial=1), trunc_err=err)
-        if with_states:
-            out["states"] = psi
+            if _i == phase:
+                sz = expectation_one_site(psi, sz_op).re
+                le = cpx.abs2(overlap(ref_state, psi))
+                ent = entanglement_entropy(psi)
+                chi_eff = bond_dimensions(psi)
+                out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
+                           max_chi=jnp.max(chi_eff[1:-1], initial=1))
+                if with_states:
+                    out["states"] = psi
+        out["trunc_err"] = err
         return psi, out
 
     psi_final, traces = jax.lax.scan(block_fn, psi0, None, length=n_meas)
@@ -153,15 +166,29 @@ class CustomFloquet:
         Returns (traces, times, info).  traces arrays have length
         n_stored + 1 (initial state included, as the reference's states list
         does, tebd_evolution.py:231).
+
+        measure_every=m > 1 measures IN-SCAN at the reference's storage
+        grid (after periods 1, m+1, 2m+1, ...; measure_phase=0) when m
+        divides n_periods -- observables cost n/m evaluations instead of n.
+        A non-dividing m falls back to dense measurement + host-side
+        selection with identical traces.
         """
         start = time.time()
-        psi_final, tr = evolve_floquet_scan(psi_initial, self.model.gates,
-                                            n_periods, self.trunc_params)
+        if measure_every > 1 and n_periods % measure_every == 0:
+            psi_final, tr = evolve_floquet_scan(
+                psi_initial, self.model.gates, n_periods, self.trunc_params,
+                measure_every=measure_every, measure_phase=0)
+            sel = np.arange(n_periods // measure_every)
+            periods = sel * measure_every          # measurement j at period j*m+1
+        else:
+            psi_final, tr = evolve_floquet_scan(psi_initial, self.model.gates,
+                                                n_periods, self.trunc_params)
+            sel = np.arange(0, n_periods, measure_every)
+            periods = sel
         jax.block_until_ready(tr["loschmidt_echo"])
         wall_time = time.time() - start
 
         init = _initial_observables(psi_initial)
-        sel = np.arange(0, n_periods, measure_every)
         traces = {}
         for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi", "trunc_err"):
             full = np.asarray(tr[k])[sel]
@@ -171,7 +198,7 @@ class CustomFloquet:
         signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
         traces["staggered_magnetization"] = (traces["sz_sites"] * signs).sum(axis=-1) / L
 
-        times = [0.0] + [(int(p) + 1) * 2 * self.model.tau for p in sel]
+        times = [0.0] + [(int(p) + 1) * 2 * self.model.tau for p in periods]
         bond_dims = [int(x) for x in traces["max_chi"]]
         info = {
             "wall_time": wall_time,
@@ -231,12 +258,19 @@ def _next_chi(chi: int, cap: int, growth: float) -> int:
     return min(cap, max(chi + 4, nc))
 
 
-def _stage_err_tol(dtype) -> float:
+def _stage_err_tol(dtype, svd_min: float = 0.0) -> float:
     """Escalation threshold on per-period truncation error for chi-staged
     drivers: far above the dtype's SVD noise floor (junk discarded weight
     ~ n * (eps * sigma_max)^2), far below any physically meaningful
-    truncation (the rank boundary discards >= 1e-6 weight when hit)."""
-    return 1e-8 if jnp.dtype(dtype) == jnp.dtype(jnp.float32) else 1e-20
+    truncation (the rank boundary discards >= 1e-6 weight when hit).
+
+    With a coarse ``svd_min`` (intentional lossy truncation, e.g. 1e-4)
+    every period legitimately discards ~bonds * svd_min^2 of weight; the
+    threshold scales with that floor so the driver doesn't read routine
+    svd_min trimming as saturation and escalate to the cap (calibrated
+    values 1e-8/1e-20 assumed svd_min at the dtype noise level)."""
+    floor = 1e-8 if jnp.dtype(dtype) == jnp.dtype(jnp.float32) else 1e-20
+    return max(floor, 100.0 * float(svd_min) ** 2)
 
 
 def _stage_decision(trunc_err, exit_lam, chi: int, err_tol: float):
@@ -315,7 +349,16 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
 
     start = time.time()
     model = KickedIsingModel(chi=chi, **model_kwargs)
-    err_tol = _stage_err_tol(model.dtype)
+    # Pin the disorder fields drawn by the FIRST model build: every ladder
+    # rebuild below re-instantiates KickedIsingModel at the new chi, and a
+    # seedless call (disorder_seed=None, no h_fields) would redraw fresh
+    # fields from the global RNG mid-run -- silently changing the
+    # Hamiltonian between chunks.  Passing the realized fields explicitly
+    # makes every stage bit-identical.
+    model_kwargs = dict(model_kwargs)
+    model_kwargs["h_fields"] = model.h_fields
+    model_kwargs.pop("disorder_seed", None)
+    err_tol = _stage_err_tol(model.dtype, tp.svd_min)
     psi = create_initial_state(model.n_sites, state_type, chi=chi,
                                dtype=model.dtype)
     psi0 = psi
@@ -324,8 +367,10 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
     n_rerun = 0
     chunks: list = []
 
+    wall_prev = 0.0
     if checkpoint_dir is not None:
-        from ..utils.checkpoint import load_state, save_state, state_exists
+        from ..utils.checkpoint import (atomic_savez, load_state, save_state,
+                                        state_exists)
         ck_state = os.path.join(checkpoint_dir, "auto_state")
         ck_traces = os.path.join(checkpoint_dir, "auto_traces.npz")
         if state_exists(ck_state) and os.path.exists(ck_traces):
@@ -333,14 +378,24 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
             p_done = int(meta["p_done"])
             chi = int(meta["chi"])
             escalations = list(meta.get("escalations", []))
+            n_rerun = int(meta.get("n_rerun", 0))
+            wall_prev = float(meta.get("wall_time", 0.0))
+            if "h_fields" in meta:
+                # the fields realized by the ORIGINAL run (a fresh process
+                # with disorder_seed=None would otherwise redraw)
+                model_kwargs["h_fields"] = np.asarray(meta["h_fields"])
             model = KickedIsingModel(chi=chi, **model_kwargs)
             psi0 = create_initial_state(model.n_sites, state_type, chi=chi,
                                         dtype=model.dtype)
             with np.load(ck_traces) as z:
+                # n_chunks derived from the npz itself: the traces file is
+                # written (atomically) BEFORE the state, so it can only be
+                # AHEAD of meta, never behind
+                n_ck = len([k for k in z.files if k.startswith("sz_sites__")])
                 chunks = [{k: z[f"{k}__{i}"] for k in
                            ("sz_sites", "loschmidt_echo", "entropies",
                             "max_chi", "trunc_err")}
-                          for i in range(int(meta["n_chunks"]))]
+                          for i in range(min(n_ck, int(meta["n_chunks"])))]
 
     while p_done < n_periods:
         n = min(chunk_periods, n_periods - p_done)
@@ -383,21 +438,27 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
         chunks.append(tr)
         p_done += n
         if checkpoint_dir is not None:
-            save_state(ck_state, psi,
-                       {"p_done": p_done, "chi": chi,
-                        "escalations": escalations,
-                        "n_chunks": len(chunks)})
+            # traces first (atomic), then the state: a kill between the two
+            # leaves traces AHEAD of meta, which the loader reconciles by
+            # taking min(n_chunks) -- never a KeyError/BadZipFile
             flat = {}
             for i, c in enumerate(chunks):
                 for k in ("sz_sites", "loschmidt_echo", "entropies",
                           "max_chi", "trunc_err"):
                     flat[f"{k}__{i}"] = c[k]
-            np.savez_compressed(ck_traces, **flat)
+            atomic_savez(ck_traces, **flat)
+            save_state(ck_state, psi,
+                       {"p_done": p_done, "chi": chi,
+                        "escalations": escalations,
+                        "n_chunks": len(chunks),
+                        "n_rerun": n_rerun,
+                        "wall_time": wall_prev + (time.time() - start),
+                        "h_fields": np.asarray(model.h_fields).tolist()})
 
     tr_all = {k: np.concatenate([c[k] for c in chunks], axis=0)
               for k in ("sz_sites", "loschmidt_echo", "entropies",
                         "max_chi", "trunc_err")}
-    wall_time = time.time() - start
+    wall_time = wall_prev + (time.time() - start)
 
     init = _initial_observables(create_initial_state(
         model.n_sites, state_type, chi=chi, dtype=model.dtype))

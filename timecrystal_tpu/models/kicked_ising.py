@@ -45,10 +45,16 @@ class FloquetGates(NamedTuple):
 
     bond_gates: C  # C[L-1, d, d, d, d] Ising half-step gates
     kick: C        # C[d, d] pi-pulse (or generalized X rotation)
+    # Periodic-BC boundary gate C[d, d, d, d] for the SWAPPED layout
+    # (left = site 0's field, right = site L-1's field), or None for open
+    # chains.  Carrying it here lets every fused driver (floquet_period,
+    # the merged frame, evolve_floquet_scan, evolve_floquet_auto) route the
+    # boundary bond instead of silently evolving an open chain.
+    boundary_gate: C | None = None
 
 
 def make_floquet_gates(J, h_fields: jax.Array, tau, theta=np.pi,
-                       dtype=jnp.float32) -> FloquetGates:
+                       dtype=jnp.float32, bc: str = "open") -> FloquetGates:
     """Build the analytic Floquet gate set from the disorder field vector.
 
     Pure jnp function: safe to call inside jit/vmap (e.g. vmapped over a
@@ -60,7 +66,15 @@ def make_floquet_gates(J, h_fields: jax.Array, tau, theta=np.pi,
         kick = G.pi_pulse_gate(dtype=dtype)
     else:
         kick = G.x_rotation_gate(theta, dtype=dtype)
-    return FloquetGates(bond_gates=bond_gates, kick=kick)
+    boundary = None
+    if bc == "periodic":
+        # built for the SWAPPED layout (apply_boundary_gate_periodic moves
+        # site 0 next to site L-1, where it sits on the LEFT)
+        hb = jnp.stack([h_fields[0], h_fields[-1]])
+        b_angles = G.ising_bond_phase_angles(J, hb, tau / 2.0)
+        boundary = G.phases_to_bond_gates(b_angles, dtype=dtype)[0]
+    return FloquetGates(bond_gates=bond_gates, kick=kick,
+                        boundary_gate=boundary)
 
 
 @partial(jax.jit, static_argnames=("tp",))
@@ -69,14 +83,23 @@ def floquet_period(psi: MPS, gates: FloquetGates, tp: TruncParams):
 
     Sequence (reference kicked_ising.py:100-148): Ising half-step
     (even bonds, then odd bonds), pi-pulse on every site, Ising half-step
-    again.  Returns (psi, truncation_error_sum).
+    again.  Periodic chains (gates.boundary_gate set) additionally apply
+    the (L-1, 0) boundary bond via the swap network once per half-step,
+    matching ``KickedIsingModel.floquet_step``'s periodic sequence.
+    Returns (psi, truncation_error_sum).
     """
     psi, e1 = apply_bond_gates(psi, gates.bond_gates, start=0, tp=tp)
     psi, e2 = apply_bond_gates(psi, gates.bond_gates, start=1, tp=tp)
+    eb1 = jnp.zeros((), psi.lam.dtype)
+    if gates.boundary_gate is not None:
+        psi, eb1 = apply_boundary_gate_periodic(psi, gates.boundary_gate, tp)
     psi = apply_one_site_gates(psi, gates.kick)
     psi, e3 = apply_bond_gates(psi, gates.bond_gates, start=0, tp=tp)
     psi, e4 = apply_bond_gates(psi, gates.bond_gates, start=1, tp=tp)
-    return psi, e1 + e2 + e3 + e4
+    eb2 = jnp.zeros((), psi.lam.dtype)
+    if gates.boundary_gate is not None:
+        psi, eb2 = apply_boundary_gate_periodic(psi, gates.boundary_gate, tp)
+    return psi, e1 + e2 + e3 + e4 + eb1 + eb2
 
 
 def _square_diagonal_gates(g: C) -> C:
@@ -89,10 +112,14 @@ def _square_diagonal_gates(g: C) -> C:
 
 @partial(jax.jit, static_argnames=("tp",))
 def ising_half_step(psi: MPS, gates: FloquetGates, tp: TruncParams):
-    """H = exp(-i tau/2 sum_b H_b) alone (even bonds then odd)."""
+    """H = exp(-i tau/2 sum_b H_b) alone (even bonds then odd; plus the
+    boundary bond for periodic chains)."""
     psi, e1 = apply_bond_gates(psi, gates.bond_gates, start=0, tp=tp)
     psi, e2 = apply_bond_gates(psi, gates.bond_gates, start=1, tp=tp)
-    return psi, e1 + e2
+    eb = jnp.zeros((), psi.lam.dtype)
+    if gates.boundary_gate is not None:
+        psi, eb = apply_boundary_gate_periodic(psi, gates.boundary_gate, tp)
+    return psi, e1 + e2 + eb
 
 
 @partial(jax.jit, static_argnames=("tp",))
@@ -101,7 +128,11 @@ def ising_half_step_inverse(psi: MPS, gates: FloquetGates, tp: TruncParams):
     inv = C(gates.bond_gates.re, -gates.bond_gates.im)
     psi, e1 = apply_bond_gates(psi, inv, start=0, tp=tp)
     psi, e2 = apply_bond_gates(psi, inv, start=1, tp=tp)
-    return psi, e1 + e2
+    eb = jnp.zeros((), psi.lam.dtype)
+    if gates.boundary_gate is not None:
+        inv_b = C(gates.boundary_gate.re, -gates.boundary_gate.im)
+        psi, eb = apply_boundary_gate_periodic(psi, inv_b, tp)
+    return psi, e1 + e2 + eb
 
 
 @partial(jax.jit, static_argnames=("tp",))
@@ -121,18 +152,24 @@ def floquet_period_merged(phi: MPS, gates: FloquetGates, tp: TruncParams):
     Only valid for DIAGONAL bond gates (the kicked-Ising model); generic
     Trotter circuits must use ``floquet_period``.
     """
-    full = FloquetGates(bond_gates=_square_diagonal_gates(gates.bond_gates),
-                        kick=gates.kick)
+    full_bonds = _square_diagonal_gates(gates.bond_gates)
     phi = apply_one_site_gates(phi, gates.kick)
-    phi, e1 = apply_bond_gates(phi, full.bond_gates, start=0, tp=tp)
-    phi, e2 = apply_bond_gates(phi, full.bond_gates, start=1, tp=tp)
-    return phi, e1 + e2
+    phi, e1 = apply_bond_gates(phi, full_bonds, start=0, tp=tp)
+    phi, e2 = apply_bond_gates(phi, full_bonds, start=1, tp=tp)
+    eb = jnp.zeros((), phi.lam.dtype)
+    if gates.boundary_gate is not None:
+        # the boundary bond is part of H, diagonal like the rest: the
+        # merged frame squares it with the others
+        full_b = _square_diagonal_gates(gates.boundary_gate)
+        phi, eb = apply_boundary_gate_periodic(phi, full_b, tp)
+    return phi, e1 + e2 + eb
 
 
-def apply_boundary_gate_periodic(psi: MPS, boundary_gate, tp: TruncParams) -> MPS:
+def apply_boundary_gate_periodic(psi: MPS, boundary_gate, tp: TruncParams):
     """Apply the (L-1, 0) boundary gate of a periodic chain via a swap
     network: swap site 0 rightward to position L-2, apply the gate at the
     last bond, swap back.  O(L) extra single-bond updates per application.
+    Returns (psi, summed_discarded_weight).
 
     The reference's periodic path is broken (it calls TeNPy apply_local_op
     at site L-1 with a two-site operator, walking off the finite chain --
@@ -144,15 +181,18 @@ def apply_boundary_gate_periodic(psi: MPS, boundary_gate, tp: TruncParams) -> MP
 
     L = psi.L
     if L <= 2:
-        psi, _ = apply_single_bond_gate(psi, boundary_gate, 0, tp)
-        return psi
+        return apply_single_bond_gate(psi, boundary_gate, 0, tp)
     sw = swap_gate(psi.d, psi.dtype)
+    disc = jnp.zeros((), psi.lam.dtype)
     for b in range(0, L - 2):          # site 0 -> position L-2
-        psi, _ = apply_single_bond_gate(psi, sw, b, tp)
-    psi, _ = apply_single_bond_gate(psi, boundary_gate, L - 2, tp)
+        psi, e = apply_single_bond_gate(psi, sw, b, tp)
+        disc = disc + e
+    psi, e = apply_single_bond_gate(psi, boundary_gate, L - 2, tp)
+    disc = disc + e
     for b in range(L - 3, -1, -1):     # swap back
-        psi, _ = apply_single_bond_gate(psi, sw, b, tp)
-    return psi
+        psi, e = apply_single_bond_gate(psi, sw, b, tp)
+        disc = disc + e
+    return psi, disc
 
 
 def draw_disorder_reference(n_sites: int, h_disorder: float,
@@ -199,20 +239,16 @@ class KickedIsingModel:
         else:
             self.h_fields = draw_disorder_reference(n_sites, h_disorder, disorder_seed)
 
+        # For periodic chains the gate set carries the boundary gate, so
+        # EVERY fused driver (CustomFloquet, evolve_floquet_scan/auto, the
+        # merged frame) routes the boundary bond -- the reference's own
+        # periodic path is broken (apply_local_op at site L-1 with a 2-site
+        # op walks off the chain); ours uses the swap network
+        # (apply_boundary_gate_periodic).
         self.gates = make_floquet_gates(self.J, jnp.asarray(self.h_fields),
-                                        self.tau, theta=self.theta, dtype=dtype)
-        if bc == "periodic":
-            # The reference's periodic path is broken (apply_local_op at site
-            # L-1 with a 2-site op walks off the chain); we implement it
-            # properly via a swap network (apply_boundary_gate_periodic).
-            # The gate is built for the SWAPPED layout: after moving site 0
-            # next to site L-1 it sits on the LEFT, so the field order is
-            # (h_0, h_{L-1}).
-            hb = jnp.asarray([self.h_fields[0], self.h_fields[-1]])
-            angles = G.ising_bond_phase_angles(self.J, hb, self.tau / 2.0)
-            self.boundary_gate = G.phases_to_bond_gates(angles, dtype=dtype)[0]
-        else:
-            self.boundary_gate = None
+                                        self.tau, theta=self.theta,
+                                        dtype=dtype, bc=bc)
+        self.boundary_gate = self.gates.boundary_gate
 
     # -- reference-parity surface ------------------------------------------
 
@@ -221,18 +257,11 @@ class KickedIsingModel:
 
         Periodic BC applies the boundary bond once per Ising half-step via
         the swap network (the reference intended the boundary gate inside
-        its even/odd loop, kicked_ising.py:92-98, but its call crashes)."""
+        its even/odd loop, kicked_ising.py:92-98, but its call crashes);
+        ``floquet_period`` routes it from ``gates.boundary_gate``, so the
+        fused scan drivers evolve the same physics as this step-wise path."""
         tp = trunc_params if isinstance(trunc_params, TruncParams) \
             else TruncParams.from_dict(trunc_params)
-        if self.bc == "periodic":
-            psi, _ = apply_bond_gates(psi, self.gates.bond_gates, start=0, tp=tp)
-            psi, _ = apply_bond_gates(psi, self.gates.bond_gates, start=1, tp=tp)
-            psi = apply_boundary_gate_periodic(psi, self.boundary_gate, tp)
-            psi = apply_one_site_gates(psi, self.gates.kick)
-            psi, _ = apply_bond_gates(psi, self.gates.bond_gates, start=0, tp=tp)
-            psi, _ = apply_bond_gates(psi, self.gates.bond_gates, start=1, tp=tp)
-            psi = apply_boundary_gate_periodic(psi, self.boundary_gate, tp)
-            return psi
         psi_new, _ = floquet_period(psi, self.gates, tp)
         return psi_new
 

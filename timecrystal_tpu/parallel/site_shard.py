@@ -34,8 +34,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from ..core import gates as G
 from ..core.mps import MPS
@@ -186,7 +186,7 @@ def evolve_floquet_sharded(psi0: MPS, gates: FloquetGates, n_periods: int,
     @partial(shard_map, mesh=mesh,
              in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
              out_specs=(P(AXIS), P(AXIS), P(AXIS), P(None, AXIS), P()),
-             check_rep=False)
+             check_vma=False)
     def run(B_re, B_im, lam, g_re, g_im, k_re, k_im):
         B = C(B_re, B_im)
         g = C(g_re, g_im)

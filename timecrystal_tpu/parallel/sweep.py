@@ -211,7 +211,7 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
                                  _stage_err_tol)
 
     dtype = jnp.float32 if spec.dtype == "float32" else jnp.float64
-    err_tol = _stage_err_tol(dtype)
+    err_tol = _stage_err_tol(dtype, spec.tp.svd_min)
     h_fields = jnp.asarray(h_fields)
     taus = jnp.asarray(taus, dtype)
     R_out = int(h_fields.shape[0])
@@ -252,22 +252,47 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     escalations: list = []
     chunks: list = []
 
+    wall_prev = 0.0
     if checkpoint_dir is not None:
-        from ..utils.checkpoint import load_state, save_state, state_exists
+        import hashlib
+
+        from ..utils.checkpoint import (atomic_savez, load_state, save_state,
+                                        state_exists)
         ck_state = _os.path.join(checkpoint_dir, "batch_auto_state")
         ck_traces = _os.path.join(checkpoint_dir, "batch_auto_traces.npz")
+        # Fingerprint of everything that must MATCH between the original
+        # run and a resume (only n_periods may legitimately change): a
+        # shape-compatible checkpoint of a different Hamiltonian would
+        # otherwise silently continue the wrong evolution.
+        fp_src = repr((spec._replace(n_periods=0),
+                       np.round(np.asarray(jax.device_get(h_fields)), 12).tolist(),
+                       np.round(np.asarray(jax.device_get(taus)), 12).tolist(),
+                       np.asarray(basis_indices).tolist(),
+                       chi_start, growth, chunk_periods)).encode()
+        fingerprint = hashlib.sha256(fp_src).hexdigest()
         if state_exists(ck_state) and _os.path.exists(ck_traces):
             psi, meta = load_state(ck_state, dtype=dtype)
+            ck_fp = meta.get("fingerprint")
+            if ck_fp is not None and ck_fp != fingerprint:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} was written by a run "
+                    "with different parameters (fields/taus/spec/ladder); "
+                    "refusing to resume -- delete it or point elsewhere")
             psi = jax.tree.map(place, psi)   # restore mesh sharding
             p_done = int(meta["p_done"])
             chi = int(meta["chi"])
             escalations = list(meta.get("escalations", []))
+            n_rerun = int(meta.get("n_rerun", 0))
+            wall_prev = float(meta.get("wall_time", 0.0))
             psi0 = fresh(chi)
             with np.load(ck_traces) as z:
-                n_ck = int(meta["n_chunks"])
+                # derive chunk count from the file itself (written BEFORE
+                # the state): it can be ahead of meta but never behind
+                n_ck = len([k for k in z.files if k.startswith("sz_sites__")])
                 chunks = [{k: z[f"{k}__{i}"] for k in
                            ("sz_sites", "loschmidt_echo", "entropies",
-                            "max_chi", "trunc_err")} for i in range(n_ck)]
+                            "max_chi", "trunc_err")}
+                          for i in range(min(n_ck, int(meta["n_chunks"])))]
 
     while p_done < n_periods:
         n = min(chunk_periods, n_periods - p_done)
@@ -297,18 +322,23 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
         chunks.append(tr)
         p_done += n
         if checkpoint_dir is not None:
-            save_state(ck_state, psi,
-                       {"p_done": p_done, "chi": chi,
-                        "escalations": escalations,
-                        "n_chunks": len(chunks)})
+            # traces first (atomic), then the state: any kill point leaves a
+            # loadable pair (loader reconciles chunk counts by min)
             flat = {}
             for i, c in enumerate(chunks):
                 for k in ("sz_sites", "loschmidt_echo", "entropies",
                           "max_chi", "trunc_err"):
                     flat[f"{k}__{i}"] = c[k]
-            np.savez_compressed(ck_traces, **flat)
+            atomic_savez(ck_traces, **flat)
+            save_state(ck_state, psi,
+                       {"p_done": p_done, "chi": chi,
+                        "escalations": escalations,
+                        "n_chunks": len(chunks),
+                        "n_rerun": n_rerun,
+                        "wall_time": wall_prev + (_time.time() - start),
+                        "fingerprint": fingerprint})
 
-    wall_time = _time.time() - start
+    wall_time = wall_prev + (_time.time() - start)
     cat = {k: np.concatenate([c[k] for c in chunks], axis=1)
            for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi",
                      "trunc_err")}

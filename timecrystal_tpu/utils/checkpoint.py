@@ -56,15 +56,25 @@ def save_state(path: str, psi: MPS, metadata: Dict[str, Any] | None = None,
     if format == "orbax" and ckptr is None:
         raise RuntimeError("orbax requested but not importable")
     if ckptr is not None:
+        # atomic: orbax writes into a temp dir which is os.replace'd over
+        # the target, so a kill mid-save leaves the previous checkpoint
+        # intact (a bare rmtree+save window would lose it).
         target = os.path.abspath(path) + ".orbax"
+        tmp = target + ".tmp"
         import shutil
+        shutil.rmtree(tmp, ignore_errors=True)
+        ckptr.save(tmp, {**arrays,
+                         "__meta__": np.frombuffer(meta.encode(), np.uint8)
+                         .copy()})
         shutil.rmtree(target, ignore_errors=True)
-        ckptr.save(target, {**arrays,
-                            "__meta__": np.frombuffer(meta.encode(), np.uint8)
-                            .copy()})
+        os.replace(tmp, target)
         return
-    np.savez_compressed(path, __meta__=np.frombuffer(meta.encode(), np.uint8),
-                        **arrays)
+    target = path if path.endswith(".npz") else path + ".npz"
+    tmp = target + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, __meta__=np.frombuffer(meta.encode(), np.uint8),
+                            **arrays)
+    os.replace(tmp, target)
 
 
 def load_state(path: str, dtype=None):
@@ -86,6 +96,18 @@ def load_state(path: str, dtype=None):
         meta = json.loads(bytes(z["__meta__"]).decode()) if "__meta__" in z else {}
         psi = _mps_from_arrays({k: z[k] for k in ("B_re", "B_im", "lam")}, dtype)
     return psi, meta
+
+
+def atomic_savez(path: str, **arrays) -> None:
+    """np.savez_compressed with write-to-temp + os.replace: a kill mid-write
+    never leaves a truncated zip at ``path`` (the chi-staged drivers write
+    trace chunks with this BEFORE the state checkpoint, so any surviving
+    pair is self-consistent)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrays)
+    os.replace(tmp, path)
 
 
 def state_exists(path: str) -> bool:
