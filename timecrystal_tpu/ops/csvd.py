@@ -391,7 +391,8 @@ def csvd_topk(theta: C, k: int, method: str = "auto", n_power: int = 2,
         # top-k path needs only (S, Vh): the V-free transpose-trick kernel
         # (jacobi_sv, rotations on theta^H with no V accumulator) is ~1.5x
         # the full kernel's speed and exits early once converged.
-        # 'jacobi_full' forces the round-1 fixed-sweep U,S,Vh kernel.
+        # 'jacobi_full' forces the V-accumulating U,S,Vh kernel (also
+        # adaptive-exit; handles rectangular / odd-column inputs).
         from .pallas.jacobi_svd import jacobi_sv, jacobi_svd
 
         if method == "jacobi" and m == n and n % 2 == 0:

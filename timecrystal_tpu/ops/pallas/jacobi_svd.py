@@ -15,8 +15,10 @@ static slices + concats on values (the arrangement returns to the original
 order after each full sweep of n-1 steps).
 
 Two kernels:
-  * ``jacobi_svd`` -- full (U, S, Vh), fixed sweep count, V accumulated
-    in-kernel (the round-1 design; kept for the general csvd API).
+  * ``jacobi_svd`` -- full (U, S, Vh), V accumulated in-kernel, adaptive
+    sweep exit (while_loop over one-sweep kernels, same convergence
+    measure as the hot path); the general csvd API incl. rectangular and
+    odd-column inputs.
   * ``jacobi_sv`` -- the TEBD hot path: (S, V) only via rotations on
     theta^H (no V accumulator), incremental column norms, and an
     XLA-level while_loop over one-sweep kernels that stops when the
@@ -41,79 +43,97 @@ from .. import cpx
 from ..cpx import C
 
 
-def _jacobi_kernel(n: int, n_sweeps: int):
-    """Kernel over refs [G, m, n]: G matrices resident in VMEM at once,
-    rotations vectorized across them (the VPU has headroom at G=1)."""
+def _jacobi_sweep_v_kernel(n: int):
+    """ONE full tournament sweep over refs [G, m, n] rotating BOTH A and the
+    V accumulator [G, n, n], with incremental column norms and the sweep's
+    convergence measure emitted (max_pairs |c|^2 / sigma_max^4) so the
+    caller's XLA-level while_loop can stop sweeping once converged -- same
+    design as ``_jacobi_sweep_kernel`` (the V-free hot path), kept separate
+    because the V rotations double the VMEM working set and the hot path
+    must not pay for them.  A and V persist across sweeps via input/output
+    aliasing; the caller initializes V = I."""
     k = n // 2
+    steps_per_sweep = n - 1
 
-    def rotate_and_cycle(L_re, L_im, R_re, R_im):
-        # pair statistics over rows (axis=1); leading axis = matrix in block
-        a = jnp.sum(L_re * L_re + L_im * L_im, axis=1)          # [G, k]
-        b = jnp.sum(R_re * R_re + R_im * R_im, axis=1)
-        c_re = jnp.sum(L_re * R_re + L_im * R_im, axis=1)       # conj(L).R
-        c_im = jnp.sum(L_re * R_im - L_im * R_re, axis=1)
-        absc = jnp.sqrt(c_re * c_re + c_im * c_im)
-        safe = absc > 1e-30
-        tau = jnp.where(safe, (b - a) / jnp.maximum(2 * absc, 1e-30), 0.0)
-        t = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau))
-        t = jnp.where(safe, t, 0.0)
-        cs = 1.0 / jnp.sqrt(1 + t * t)
-        sn = cs * t
-        ph_re = jnp.where(safe, c_re / jnp.maximum(absc, 1e-30), 1.0)
-        ph_im = jnp.where(safe, c_im / jnp.maximum(absc, 1e-30), 0.0)
-        # u' = cs u - sn conj(phase) v ; v' = sn phase u + cs v
-        w1_re, w1_im = sn * ph_re, -sn * ph_im
-        w2_re, w2_im = sn * ph_re, sn * ph_im
-
-        cs_b, w1_re_b, w1_im_b = cs[:, None, :], w1_re[:, None, :], w1_im[:, None, :]
-        w2_re_b, w2_im_b = w2_re[:, None, :], w2_im[:, None, :]
-
-        def rot(XL_re, XL_im, XR_re, XR_im):
-            u_re, u_im = XL_re, XL_im
-            XL_re = cs_b * u_re - (w1_re_b * XR_re - w1_im_b * XR_im)
-            XL_im = cs_b * u_im - (w1_re_b * XR_im + w1_im_b * XR_re)
-            XR_re = (w2_re_b * u_re - w2_im_b * u_im) + cs_b * XR_re
-            XR_im = (w2_re_b * u_im + w2_im_b * u_re) + cs_b * XR_im
-            return XL_re, XL_im, XR_re, XR_im
-
-        return rot
-
-    def cycle(L_, R_):
-        # tournament rotation: p=[p0, q0, p1..p_{k-2}], q=[q1.., p_{k-1}]
-        newL = jnp.concatenate([L_[:, :, :1], R_[:, :, :1], L_[:, :, 1:k - 1]],
-                               axis=2)
-        newR = jnp.concatenate([R_[:, :, 1:], L_[:, :, k - 1:]], axis=2)
-        return newL, newR
-
-    def kernel(th_re_ref, th_im_ref, A_re_ref, A_im_ref, V_re_ref, V_im_ref):
-        G = A_re_ref.shape[0]
-        A_re_ref[:] = th_re_ref[:]
-        A_im_ref[:] = th_im_ref[:]
-        eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-               == jax.lax.broadcasted_iota(jnp.int32, (n, n), 1))
-        eye = jnp.broadcast_to(eye[None], (G, n, n))
-        V_re_ref[:] = eye.astype(A_re_ref.dtype)
-        V_im_ref[:] = jnp.zeros((G, n, n), A_re_ref.dtype)
+    def kernel(inA_re, inA_im, inV_re, inV_im, A_re_ref, A_im_ref,
+               V_re_ref, V_im_ref, off2_ref, ab_ref):
+        A_re_ref[:] = inA_re[:]
+        A_im_ref[:] = inA_im[:]
+        V_re_ref[:] = inV_re[:]
+        V_im_ref[:] = inV_im[:]
+        ab_ref[:, 0, :] = jnp.sum(A_re_ref[:, :, :k] ** 2
+                                  + A_im_ref[:, :, :k] ** 2, axis=1)
+        ab_ref[:, 1, :] = jnp.sum(A_re_ref[:, :, k:] ** 2
+                                  + A_im_ref[:, :, k:] ** 2, axis=1)
+        ab_ref[:, 2, :] = jnp.zeros_like(ab_ref[:, 2, :])
+        maxn2 = jnp.max(jnp.maximum(ab_ref[:, 0, :], ab_ref[:, 1, :]),
+                        axis=1, keepdims=True)                    # [G, 1]
+        inv_maxn2_sq = 1.0 / jnp.maximum(maxn2 * maxn2, 1e-30)
 
         def step(t, _):
-            AL_re, AL_im = A_re_ref[:, :, :k], A_im_ref[:, :, :k]
-            AR_re, AR_im = A_re_ref[:, :, k:], A_im_ref[:, :, k:]
-            rot = rotate_and_cycle(AL_re, AL_im, AR_re, AR_im)
-            AL_re, AL_im, AR_re, AR_im = rot(AL_re, AL_im, AR_re, AR_im)
+            L_re, L_im = A_re_ref[:, :, :k], A_im_ref[:, :, :k]
+            R_re, R_im = A_re_ref[:, :, k:], A_im_ref[:, :, k:]
+            a = ab_ref[:, 0, :]
+            b = ab_ref[:, 1, :]
+            c_re = jnp.sum(L_re * R_re + L_im * R_im, axis=1)
+            c_im = jnp.sum(L_re * R_im - L_im * R_re, axis=1)
+            abs2c = c_re * c_re + c_im * c_im
+            ratio = abs2c * inv_maxn2_sq
+            ab_ref[:, 2, :] = jnp.maximum(ab_ref[:, 2, :], ratio)
+            absc = jnp.sqrt(abs2c)
+            safe = absc > 1e-30
+            tau = jnp.where(safe, (b - a) / jnp.maximum(2 * absc, 1e-30),
+                            0.0)
+            t_ = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau))
+            t_ = jnp.where(safe, t_, 0.0)
+            cs = 1.0 / jnp.sqrt(1 + t_ * t_)
+            sn = cs * t_
+            ph_re = jnp.where(safe, c_re / jnp.maximum(absc, 1e-30), 1.0)
+            ph_im = jnp.where(safe, c_im / jnp.maximum(absc, 1e-30), 0.0)
+            # u' = cs u - sn conj(phase) v ; v' = sn phase u + cs v
+            w1_re, w1_im = sn * ph_re, -sn * ph_im
+            w2_re, w2_im = sn * ph_re, sn * ph_im
+            cs_b = cs[:, None, :]
+            w1_re_b, w1_im_b = w1_re[:, None, :], w1_im[:, None, :]
+            w2_re_b, w2_im_b = w2_re[:, None, :], w2_im[:, None, :]
+
+            def rot(XL_re, XL_im, XR_re, XR_im):
+                u_re, u_im = XL_re, XL_im
+                XL_re = cs_b * u_re - (w1_re_b * XR_re - w1_im_b * XR_im)
+                XL_im = cs_b * u_im - (w1_re_b * XR_im + w1_im_b * XR_re)
+                XR_re = (w2_re_b * u_re - w2_im_b * u_im) + cs_b * XR_re
+                XR_im = (w2_re_b * u_im + w2_im_b * u_re) + cs_b * XR_im
+                return XL_re, XL_im, XR_re, XR_im
+
+            XL_re, XL_im, XR_re, XR_im = rot(L_re, L_im, R_re, R_im)
             VL_re, VL_im = V_re_ref[:, :, :k], V_im_ref[:, :, :k]
             VR_re, VR_im = V_re_ref[:, :, k:], V_im_ref[:, :, k:]
             VL_re, VL_im, VR_re, VR_im = rot(VL_re, VL_im, VR_re, VR_im)
-            AL_re, AR_re = cycle(AL_re, AR_re)
-            AL_im, AR_im = cycle(AL_im, AR_im)
-            VL_re, VR_re = cycle(VL_re, VR_re)
-            VL_im, VR_im = cycle(VL_im, VR_im)
-            A_re_ref[:, :, :k], A_re_ref[:, :, k:] = AL_re, AR_re
-            A_im_ref[:, :, :k], A_im_ref[:, :, k:] = AL_im, AR_im
-            V_re_ref[:, :, :k], V_re_ref[:, :, k:] = VL_re, VR_re
-            V_im_ref[:, :, :k], V_im_ref[:, :, k:] = VL_im, VR_im
+            # 2x2 Jacobi norm update: a' = a - t|c|, b' = b + t|c|
+            a_new = a - t_ * absc
+            b_new = b + t_ * absc
+
+            def cyc(L_, R_):
+                # tournament: p=[p0, q0, p1..p_{k-2}], q=[q1.., p_{k-1}]
+                newL = jnp.concatenate(
+                    [L_[:, :, :1], R_[:, :, :1], L_[:, :, 1:k - 1]], axis=2)
+                newR = jnp.concatenate([R_[:, :, 1:], L_[:, :, k - 1:]],
+                                       axis=2)
+                return newL, newR
+
+            A_re_ref[:, :, :k], A_re_ref[:, :, k:] = cyc(XL_re, XR_re)
+            A_im_ref[:, :, :k], A_im_ref[:, :, k:] = cyc(XL_im, XR_im)
+            V_re_ref[:, :, :k], V_re_ref[:, :, k:] = cyc(VL_re, VR_re)
+            V_im_ref[:, :, :k], V_im_ref[:, :, k:] = cyc(VL_im, VR_im)
+            ab_ref[:, 0, :] = jnp.concatenate(
+                [a_new[:, :1], b_new[:, :1], a_new[:, 1:k - 1]], axis=1)
+            ab_ref[:, 1, :] = jnp.concatenate(
+                [b_new[:, 1:], a_new[:, k - 1:]], axis=1)
             return 0
 
-        jax.lax.fori_loop(0, n_sweeps * (n - 1), step, 0)
+        jax.lax.fori_loop(0, steps_per_sweep, step, 0)
+        off2 = jnp.max(ab_ref[:, 2, :]).astype(jnp.float32)
+        off2_ref[0, :, :] = jnp.full((8, 128), off2, dtype=jnp.float32)
 
     return kernel
 
@@ -363,67 +383,103 @@ def jacobi_sv(theta: C, max_sweeps: int | None = None,
     return S, V
 
 
-@partial(jax.jit, static_argnames=("n_sweeps", "interpret"))
-def jacobi_svd(theta: C, n_sweeps: int | None = None, interpret: bool = False):
+@partial(jax.jit, static_argnames=("n_sweeps", "tol", "interpret"))
+def jacobi_svd(theta: C, n_sweeps: int | None = None,
+               tol: float | None = None, interpret: bool = False):
     """Batched one-sided Jacobi SVD: theta C[B, m, n] -> (U, S, Vh).
 
     S descending; U's columns for sigma ~ 0 are zero (padded convention).
-    Default sweep count by dtype: 6 for f32, 24 for f64.  TEBD thetas are
-    born nearly column-orthogonal (canonical form + near-diagonal gates;
-    measured off-diagonal Gram weight 0.08-0.23 on the physical workload,
-    where 4 sweeps already reach the f32 floor of 4e-6 trace error --
-    6 adds safety margin).  Worst-case RANDOM matrices need ~12 (f32) /
-    24 (f64) sweeps: pass n_sweeps explicitly for non-TEBD uses.
+    Sweeps are ADAPTIVE: an XLA-level while_loop launches one-sweep kernels
+    until the sweep's max pair overlap drops below ``tol * sigma_max^2``
+    (same exit as the V-free hot path ``jacobi_sv``), capped at
+    ``n_sweeps`` (default 12 f32 / 24 f64).  TEBD thetas converge in
+    ~8-10 sweeps at L=40 chi=256; worst-case random matrices use the cap.
+    Odd column counts are zero-padded to even (the extra zero column never
+    rotates and sorts to the tail as sigma = 0).
     """
     if n_sweeps is None:
-        n_sweeps = 24 if theta.dtype == jnp.float64 else 6
+        n_sweeps = 24 if theta.dtype == jnp.float64 else 12
+    if tol is None:
+        tol = 1e-14 if theta.dtype == jnp.float64 else 3e-8
     squeeze = theta.ndim == 2
     if squeeze:
         theta = C(theta.re[None], theta.im[None])
-    Bn0, m, n = theta.re.shape
-    assert n % 2 == 0
+    Bn0, m, n0 = theta.re.shape
+    col_pad = n0 % 2
+    if col_pad:
+        zc = jnp.zeros((Bn0, m, 1), theta.dtype)
+        theta = C(jnp.concatenate([theta.re, zc], axis=-1),
+                  jnp.concatenate([theta.im, zc], axis=-1))
+    n = n0 + col_pad
 
-    # matrices per grid step: VMEM budget ~16MB must hold A + V (+ aliased
-    # theta) blocks; 2 per step measured faster than 1 (VPU headroom)
-    # resident blocks: theta(in) + A + V per matrix; the scoped VMEM limit
-    # is raised via CompilerParams (v5e has far more than the 16MB default;
-    # a 24MB-block probe compiled and ran with vmem_limit_bytes=100MB).
-    # Working set is ~2x blocks (rotation/cycle value temporaries).
-    per_mat_bytes = (4 * m * n + 2 * n * n) * np.dtype(theta.dtype).itemsize
-    G = max(1, min(Bn0, int((40 * 2**20) // max(per_mat_bytes, 1))))
-    G = min(G, 4)
+    # matrices per grid step: empirical scoped-VMEM footprint is ~10x the
+    # resident arrays (rotation/cycle value temporaries); A is [m, n] re+im
+    # and V is [n, n] re+im, both in/out aliased.  Budget 50 MB against the
+    # 100 MB scoped limit (same calibration as jacobi_sv).
+    per_mat_bytes = (10 * (m * n + n * n)) * np.dtype(theta.dtype).itemsize
+    G = _pick_block(Bn0, per_mat_bytes, 50 * 2**20)
     pad = (-Bn0) % G
     if pad:
         theta = C(jnp.concatenate([theta.re, jnp.zeros((pad, m, n), theta.dtype)]),
                   jnp.concatenate([theta.im, jnp.zeros((pad, m, n), theta.dtype)]))
     Bn = Bn0 + pad
 
-    kernel = _jacobi_kernel(n, n_sweeps)
+    kernel = _jacobi_sweep_v_kernel(n)
+    n_blocks = Bn // G
     out_shape = [
         jax.ShapeDtypeStruct((Bn, m, n), theta.dtype),
         jax.ShapeDtypeStruct((Bn, m, n), theta.dtype),
         jax.ShapeDtypeStruct((Bn, n, n), theta.dtype),
         jax.ShapeDtypeStruct((Bn, n, n), theta.dtype),
+        jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.float32),
     ]
     block_a = pl.BlockSpec((G, m, n), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
     block_v = pl.BlockSpec((G, n, n), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
-
-    A_re, A_im, V_re, V_im = pl.pallas_call(
+    off2_spec = pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    sweep_call = pl.pallas_call(
         kernel,
-        grid=(Bn // G,),
+        grid=(n_blocks,),
         out_shape=out_shape,
-        in_specs=[block_a, block_a],
-        out_specs=[block_a, block_a, block_v, block_v],
-        input_output_aliases={0: 0, 1: 1},
+        in_specs=[block_a, block_a, block_v, block_v],
+        out_specs=[block_a, block_a, block_v, block_v, off2_spec],
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3},
+        scratch_shapes=[
+            pltpu.VMEM((G, 3, n // 2), theta.dtype),      # a, b norms + off-max
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(theta.re, theta.im)
+    )
+
+    V0_re = jnp.broadcast_to(jnp.eye(n, dtype=theta.dtype)[None], (Bn, n, n))
+    V0_im = jnp.zeros((Bn, n, n), theta.dtype)
+
+    def cond(carry):
+        s, off2 = carry[0], carry[1]
+        return (s < n_sweeps) & (off2 >= np.float32(tol * tol))
+
+    def body(carry):
+        s, _, A_re, A_im, V_re, V_im = carry
+        A_re, A_im, V_re, V_im, off2b = sweep_call(A_re, A_im, V_re, V_im)
+        return (s + 1, jnp.max(off2b), A_re, A_im, V_re, V_im)
+
+    _, _, A_re, A_im, V_re, V_im = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.float32(jnp.inf), theta.re, theta.im,
+         V0_re, V0_im))
     if pad:
         A_re, A_im = A_re[:Bn0], A_im[:Bn0]
         V_re, V_im = V_re[:Bn0], V_im[:Bn0]
+    if col_pad:
+        # the zero pad column never rotates (|c| = 0 pairs are skipped) and
+        # the tournament returns columns to original order after each full
+        # sweep, so it sits exactly at index n-1 with V column e_{n-1};
+        # dropping the last column (and V's pad coordinate row) is exact.
+        A_re, A_im = A_re[..., :n0], A_im[..., :n0]
+        V_re, V_im = V_re[..., :n0, :n0], V_im[..., :n0, :n0]
 
     A = C(A_re, A_im)
     V = C(V_re, V_im)
