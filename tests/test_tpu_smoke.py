@@ -147,6 +147,44 @@ print(json.dumps({"serr": serr, "diag_ok": diag_ok,
 
 
 @tpu_only
+def test_compiled_jacobi_proj_vs_lapack():
+    """Compiled chained projected SVD (jacobi_proj, the steady-state bench
+    path) on TEBD-shaped 512x512 thetas with a steep spectrum: top-chi S
+    matches LAPACK at the measured error class (boundary-concentrated,
+    PERFORMANCE.md), V kept columns orthonormal, disc conservative."""
+    out = _run_child("""
+import json, numpy as np, jax.numpy as jnp
+from timecrystal_tpu.ops.cpx import C
+from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_proj
+rng = np.random.RandomState(11)
+B, n, k = 4, 512, 256
+M = np.zeros((B, n, n), np.complex64)
+for i in range(B):
+    q1, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
+    q2, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
+    M[i] = (q1 * np.logspace(0, -7, n)) @ q2.conj().T
+th = C(jnp.asarray(M.real), jnp.asarray(M.imag))
+S, V, disc = jacobi_proj(th, k, polish=k, polish_b_iters=6, polish_iters=6)
+S = np.asarray(S)
+Sref = np.linalg.svd(M, compute_uv=False)
+serr = float(np.max(np.abs(S - Sref[:, :k])) / Sref.max())
+Vk = np.asarray(V.re) + 1j * np.asarray(V.im)
+G = np.einsum("bji,bjk->bik", Vk.conj(), Vk)
+offmax = float(np.abs(G - np.eye(k)[None]).max())
+d_true = np.sum(Sref[:, k:] ** 2, axis=1)
+norm2 = np.sum(Sref ** 2, axis=1)
+# disc = |theta|_F^2 - sum S^2 in f32: conservative up to the f32
+# Frobenius-reduction noise floor (~eps*sqrt(numel)*norm2 ~ 3e-5*norm2
+# at n=512) -- the leak adds, the reduction noise is two-sided
+cons = bool(np.all(np.asarray(disc) >= d_true - 1e-4 * norm2))
+print(json.dumps({"serr": serr, "offmax": offmax, "disc_conservative": cons}))
+""")
+    assert out["serr"] < 5e-4, out
+    assert out["offmax"] < 5e-5, out
+    assert out["disc_conservative"], out
+
+
+@tpu_only
 def test_compiled_small_n_svd_paths():
     """csvd_topk small-n routing on TPU: 'auto' at n=128/batch 6 routes to
     the Jacobi kernel (small batch -> kernel beats the backend's flat-cost

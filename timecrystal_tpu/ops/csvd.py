@@ -386,6 +386,24 @@ def csvd_topk(theta: C, k: int, method: str = "auto", n_power: int = 2,
                       (n >= 256 or (small_batch and m == n and n >= 32))
                       else "gram_eigh")
 
+    if method == "jacobi_proj":
+        # Chained half-power projected SVD (ops/pallas/jacobi_svd.
+        # jacobi_proj): only k singular triplets are ever computed, on
+        # [m, k]-column panels (~4x less rotation traffic at k = n/2).
+        # Steady-state saturated-chi fast path; falls back to the full
+        # kernel when the panel shape is unsupported.
+        from .pallas.jacobi_svd import jacobi_proj
+
+        if k % 2 == 0 and k <= min(m, n):
+            # polish iters 6: measured equal-accuracy to 12 on steady-state
+            # thetas (baselines/chained_proj_timing.py); NS is quadratic, 6
+            # iters resolve defects up to ~0.1 to the f32 floor.
+            S, V, disc = jacobi_proj(theta, k, polish=k,
+                                     polish_b_iters=6, polish_iters=6)
+            Vh = C(jnp.swapaxes(V.re, -1, -2), -jnp.swapaxes(V.im, -1, -2))
+            return S, Vh, disc
+        method = "jacobi"
+
     if method in ("jacobi", "jacobi_full"):
         # Pallas one-sided Jacobi kernel (whole batch in one call).  The
         # top-k path needs only (S, Vh): the V-free transpose-trick kernel

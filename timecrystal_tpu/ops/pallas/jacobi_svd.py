@@ -270,6 +270,92 @@ def _ns_polish(V: C, pk: int, iters: int = 12) -> C:
     return C(re, im)
 
 
+def _orthogonalize_columns(A: C, max_sweeps: int, tol: float,
+                           interpret: bool):
+    """Run adaptive tournament sweeps on A C[B, m, n] (n even) until every
+    pair overlap drops below tol * sigma_max^2 (or max_sweeps).  Returns the
+    converged matrix whose columns are the left singular vectors of A scaled
+    by its singular values (unsorted)."""
+    Bn0, m, n = A.re.shape
+    assert n % 2 == 0, "column count must be even for the tournament"
+    # per matrix resident: A re+im (input aliased to output) + rotation and
+    # concat value temporaries.  Empirical scoped-VMEM footprint on v5e is
+    # ~10x m*n*itemsize per matrix (measured 105 MB at G=10, n=512), so
+    # budget 50 MB against that to stay clear of the 100 MB scoped limit.
+    per_mat_bytes = (10 * m * n) * np.dtype(A.dtype).itemsize
+    G = _pick_block(Bn0, per_mat_bytes, 50 * 2**20)
+    pad = (-Bn0) % G
+    if pad:
+        A = C(jnp.concatenate([A.re, jnp.zeros((pad, m, n), A.dtype)]),
+              jnp.concatenate([A.im, jnp.zeros((pad, m, n), A.dtype)]))
+    Bn = Bn0 + pad
+
+    kernel = _jacobi_sweep_kernel(n)
+    n_blocks = Bn // G
+    out_shape = [jax.ShapeDtypeStruct((Bn, m, n), A.dtype),
+                 jax.ShapeDtypeStruct((Bn, m, n), A.dtype),
+                 jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.float32)]
+    block = pl.BlockSpec((G, m, n), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    off2_spec = pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    sweep_call = pl.pallas_call(
+        kernel, grid=(n_blocks,), out_shape=out_shape,
+        in_specs=[block, block], out_specs=[block, block, off2_spec],
+        input_output_aliases={0: 0, 1: 1},
+        scratch_shapes=[
+            pltpu.VMEM((G, 3, n // 2), A.dtype),          # a, b norms + off-max
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    # sweep-until-converged at the XLA level: one kernel launch per sweep
+    # (launches are device-side inside the jit program; the A blocks stay
+    # resident per sweep and HBM round-trips between sweeps are ~1% of the
+    # sweep's rotation time at n=512)
+    def cond(carry):
+        s, off2, _, _ = carry
+        return (s < max_sweeps) & (off2 >= np.float32(tol * tol))
+
+    def body(carry):
+        s, _, re, im = carry
+        re, im, off2b = sweep_call(re, im)
+        return (s + 1, jnp.max(off2b), re, im)
+
+    _, _, B_re, B_im = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.float32(jnp.inf), A.re, A.im))
+    if pad:
+        B_re, B_im = B_re[:Bn0], B_im[:Bn0]
+    return C(B_re, B_im)
+
+
+def _cols_to_sv(Bm: C, polish: int):
+    """Converged column matrix [B, m, n] (columns = vectors * sigma) ->
+    (S [B, n] descending, Q C[B, m, n] normalized columns).
+
+    Resolution floor: sigma below 64*eps*sigma_max is pure rotation noise
+    in this dtype (weight <= (64 eps)^2 ~ 6e-11 in f32); their normalized
+    columns are noise directions that can be mutually near-parallel, which
+    would break the NS polish (sigma_max(V_k) past sqrt(3)).  Zero both.
+    """
+    S = jnp.sqrt(jnp.sum(cpx.abs2(Bm), axis=-2))
+    order = jnp.argsort(-S, axis=-1)
+    S = jnp.take_along_axis(S, order, axis=-1)
+    Bm = C(jnp.take_along_axis(Bm.re, order[:, None, :], axis=-1),
+           jnp.take_along_axis(Bm.im, order[:, None, :], axis=-1))
+    floor = 64.0 * float(jnp.finfo(Bm.dtype).eps)
+    keep = S > floor * S[..., :1]
+    S = jnp.where(keep, S, 0.0)
+    inv = jnp.where(keep, 1.0 / jnp.maximum(S, 1e-30), 0.0)
+    Q = C(Bm.re * inv[:, None, :], Bm.im * inv[:, None, :])
+    if polish:
+        Q = _ns_polish(Q, min(polish, Q.re.shape[-1]))
+    return S, Q
+
+
 @partial(jax.jit, static_argnames=("max_sweeps", "tol", "polish", "interpret"))
 def jacobi_sv(theta: C, max_sweeps: int | None = None,
               tol: float | None = None, polish: int = 0,
@@ -309,78 +395,103 @@ def jacobi_sv(theta: C, max_sweeps: int | None = None,
     assert m == n and n % 2 == 0, "jacobi_sv requires square even-n theta"
     # A = theta^H: orthogonalized columns become V*S
     A = C(jnp.swapaxes(theta.re, -1, -2), -jnp.swapaxes(theta.im, -1, -2))
-
-    # per matrix resident: A re+im (input aliased to output) + rotation and
-    # concat value temporaries.  Empirical scoped-VMEM footprint on v5e is
-    # ~10x m*n*itemsize per matrix (measured 105 MB at G=10, n=512), so
-    # budget 50 MB against that to stay clear of the 100 MB scoped limit.
-    per_mat_bytes = (10 * m * n) * np.dtype(theta.dtype).itemsize
-    G = _pick_block(Bn0, per_mat_bytes, 50 * 2**20)
-    pad = (-Bn0) % G
-    if pad:
-        A = C(jnp.concatenate([A.re, jnp.zeros((pad, m, n), theta.dtype)]),
-              jnp.concatenate([A.im, jnp.zeros((pad, m, n), theta.dtype)]))
-    Bn = Bn0 + pad
-
-    kernel = _jacobi_sweep_kernel(n)
-    n_blocks = Bn // G
-    out_shape = [jax.ShapeDtypeStruct((Bn, m, n), theta.dtype),
-                 jax.ShapeDtypeStruct((Bn, m, n), theta.dtype),
-                 jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.float32)]
-    block = pl.BlockSpec((G, m, n), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM)
-    off2_spec = pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0),
-                             memory_space=pltpu.VMEM)
-    sweep_call = pl.pallas_call(
-        kernel, grid=(n_blocks,), out_shape=out_shape,
-        in_specs=[block, block], out_specs=[block, block, off2_spec],
-        input_output_aliases={0: 0, 1: 1},
-        scratch_shapes=[
-            pltpu.VMEM((G, 3, n // 2), theta.dtype),      # a, b norms + off-max
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )
-
-    # sweep-until-converged at the XLA level: one kernel launch per sweep
-    # (launches are device-side inside the jit program; the A blocks stay
-    # resident per sweep and HBM round-trips between sweeps are ~1% of the
-    # sweep's rotation time at n=512)
-    def cond(carry):
-        s, off2, _, _ = carry
-        return (s < max_sweeps) & (off2 >= np.float32(tol * tol))
-
-    def body(carry):
-        s, _, re, im = carry
-        re, im, off2b = sweep_call(re, im)
-        return (s + 1, jnp.max(off2b), re, im)
-
-    _, _, B_re, B_im = jax.lax.while_loop(
-        cond, body,
-        (jnp.int32(0), jnp.float32(jnp.inf), A.re, A.im))
-    if pad:
-        B_re, B_im = B_re[:Bn0], B_im[:Bn0]
-    Bm = C(B_re, B_im)                                     # = V S
-    S = jnp.sqrt(jnp.sum(cpx.abs2(Bm), axis=-2))
-    order = jnp.argsort(-S, axis=-1)
-    S = jnp.take_along_axis(S, order, axis=-1)
-    Bm = C(jnp.take_along_axis(Bm.re, order[:, None, :], axis=-1),
-           jnp.take_along_axis(Bm.im, order[:, None, :], axis=-1))
-    # Resolution floor: sigma below 64*eps*sigma_max is pure rotation noise
-    # in this dtype (weight <= (64 eps)^2 ~ 6e-11 in f32); their normalized
-    # columns are noise directions that can be mutually near-parallel, which
-    # would break the NS polish (sigma_max(V_k) past sqrt(3)).  Zero both.
-    floor = 64.0 * float(jnp.finfo(theta.dtype).eps)
-    keep = S > floor * S[..., :1]
-    S = jnp.where(keep, S, 0.0)
-    inv = jnp.where(keep, 1.0 / jnp.maximum(S, 1e-30), 0.0)
-    V = C(Bm.re * inv[:, None, :], Bm.im * inv[:, None, :])
-    if polish:
-        V = _ns_polish(V, min(polish, n))
+    Bm = _orthogonalize_columns(A, max_sweeps, tol, interpret)   # = V S
+    S, V = _cols_to_sv(Bm, polish)
     if squeeze:
         S, V = S[0], V[0]
     return S, V
+
+
+_PROJ_BASES: dict = {}
+
+
+def _fixed_projection_basis(n: int, k: int, dtype) -> C:
+    """Deterministic orthonormal basis Q0 [n, k] (complex, host-generated,
+    embedded as a jit constant).  The chained projected SVD's capture
+    quality is basis-INDEPENDENT on TEBD thetas -- the steep spectrum at
+    the truncation boundary makes one theta-application from any generic
+    subspace sufficient (measured: cold random carrier Serr 2.95e-5 ==
+    threaded carrier 3.1e-5; baselines/chained_proj_experiment.py) -- so a
+    fixed basis replaces carried state entirely."""
+    key = (n, k, jnp.dtype(dtype).name)
+    if key not in _PROJ_BASES:
+        rng = np.random.default_rng(0x7C0FFEE)
+        Q, _ = np.linalg.qr(rng.standard_normal((n, k))
+                            + 1j * rng.standard_normal((n, k)))
+        _PROJ_BASES[key] = (np.ascontiguousarray(Q.real.astype(jnp.dtype(dtype))),
+                            np.ascontiguousarray(Q.imag.astype(jnp.dtype(dtype))))
+    re, im = _PROJ_BASES[key]
+    return C(jnp.asarray(re), jnp.asarray(im))
+
+
+@partial(jax.jit, static_argnames=("k", "max_sweeps", "tol", "tol_b",
+                                   "polish", "polish_b_iters",
+                                   "polish_iters", "interpret"))
+def jacobi_proj(theta: C, k: int, max_sweeps: int | None = None,
+                tol: float | None = None, tol_b: float | None = None,
+                polish: int = 0, polish_b_iters: int = 12,
+                polish_iters: int = 12,
+                interpret: bool = False):
+    """Chained half-power projected top-k SVD: (S [.., k], V C[.., n, k],
+    disc [..]) of theta C[.., m, n] -- the saturated-chi steady-state fast
+    path (k = chi = n/2 cuts per-sweep rotation traffic ~4x vs the full
+    kernel).
+
+    Both restrictions are sigma-weighted (f32-resolvable; theta^H-theta
+    panels would put the truncation boundary below the f32 noise floor)
+    and every orthonormalization is done BY the Jacobi kernel (QR/Cholesky/
+    NS-orth are unavailable or unstable in f32 on this backend):
+
+      1. T = theta Q0        [m, k]  (Q0 fixed orthonormal: capture of the
+                                      LEFT subspace after one application
+                                      is tail-weight-bound, ~1e-6 measured)
+      2. jacobi(T) -> U-hat  [m, k]  (normalized converged columns + NS
+                                      polish: U-hat's orthonormality enters
+                                      S directly)
+      3. Y = theta^H U-hat   [n, k]  (columns ~ sigma_i v_i: near-orthogonal,
+                                      pair overlap ~3e-2 measured)
+      4. jacobi(Y): S = column norms, V = normalized columns (few sweeps).
+
+    Soundness + error model measured in baselines/chained_proj_experiment.py
+    (L=40 chi=256 steady state): S err ~3e-5..1e-4 concentrated on boundary
+    singular values, kept-weight misplacement ~1e-6..3e-6, stable across
+    threaded periods.  disc = ||theta||_F^2 - sum S^2 (includes the
+    projection leak -- conservative).  Requires k even and k <= min(m, n);
+    intended for saturated steady-state evolution where rank chi is filled
+    (rank-deficient inputs degrade gracefully: junk directions carry
+    sigma ~ 0 and are floor-zeroed).
+    """
+    if max_sweeps is None:
+        max_sweeps = 24 if theta.dtype == jnp.float64 else 12
+    if tol is None:
+        tol = 1e-14 if theta.dtype == jnp.float64 else 3e-8
+    if tol_b is None:
+        tol_b = tol
+    squeeze = theta.ndim == 2
+    if squeeze:
+        theta = C(theta.re[None], theta.im[None])
+    Bn0, m, n = theta.re.shape
+    assert k % 2 == 0 and k <= min(m, n), "jacobi_proj needs even k <= min(m, n)"
+    Q0 = _fixed_projection_basis(n, k, theta.dtype)
+    T = cpx.einsum("bmn,nk->bmk", theta, Q0)
+    Tm = _orthogonalize_columns(T, max_sweeps, tol_b, interpret)
+    if polish_b_iters:
+        _, Uhat = _cols_to_sv(Tm, polish=0)
+        Uhat = _ns_polish(Uhat, k, iters=polish_b_iters)
+    else:
+        _, Uhat = _cols_to_sv(Tm, polish=0)
+    Y = cpx.einsum("bmn,bmk->bnk", theta.conj(), Uhat)
+    Ym = _orthogonalize_columns(Y, max_sweeps, tol, interpret)
+    if polish:
+        S, V = _cols_to_sv(Ym, polish=0)
+        V = _ns_polish(V, min(polish, k), iters=polish_iters)
+    else:
+        S, V = _cols_to_sv(Ym, polish=0)
+    disc = jnp.sum(cpx.abs2(theta), axis=(-2, -1)) - jnp.sum(S * S, axis=-1)
+    disc = jnp.maximum(disc, 0.0)
+    if squeeze:
+        S, V, disc = S[0], V[0], disc[0]
+    return S, V, disc
 
 
 @partial(jax.jit, static_argnames=("n_sweeps", "tol", "interpret"))
