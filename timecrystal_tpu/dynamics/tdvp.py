@@ -212,6 +212,10 @@ def lanczos_expm_apply(matvec, v0: C, dt: float, m: int, sign: float = -1.0):
         v_prev, beta_prev, alive = vj, beta, ok
 
     T = jnp.diag(alphas) + jnp.diag(betas, 1) + jnp.diag(betas, -1)
+    # in-program small-n eigh is cheap on every backend (measured: routing
+    # this through an unrolled XLA Jacobi made the TDVP period 4x SLOWER --
+    # baselines/tdvp_tpu_probe.py; the backend's flat eigh cost applies to
+    # LARGE single calls, not fused small ones)
     wT, UT = jnp.linalg.eigh(T)                      # real symmetric
     phase = cpx.expi(sign * dt * wT)                 # e^{sign i dt w}
     e1 = UT[0, :]                                    # <e1| U
@@ -608,8 +612,8 @@ class TDVPFloquetEvolution:
             psi_tebd = psi0
             for _ in range(n_periods):
                 psi_tebd = flo.model.floquet_step(psi_tebd, flo.trunc_params)
-            jax.block_until_ready(psi_tebd.B.re)
-            t_tebd = time.time() - t0
+            np.asarray(psi_tebd.lam)    # fetch-sync: block_until_ready is a
+            t_tebd = time.time() - t0   # no-op through the axon tunnel
 
             tfe = TDVPFloquetEvolution(m, dt=self.dt, max_chi=self.max_chi,
                                        tdvp_type=self.tdvp_type,
@@ -618,7 +622,7 @@ class TDVPFloquetEvolution:
             psi_tdvp = psi0
             for _ in range(n_periods):
                 psi_tdvp = tfe.evolve_floquet_period(psi_tdvp)
-            jax.block_until_ready(psi_tdvp.B.re)
+            np.asarray(psi_tdvp.lam)
             t_tdvp = time.time() - t0
 
             ov = overlap(psi_tebd, psi_tdvp)

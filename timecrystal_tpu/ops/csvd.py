@@ -281,6 +281,11 @@ def cqr_tall(M: C, method: str = "auto"):
     square root is gauge-equivalent.  Rank-deficient (padded) directions
     yield zero columns in Q and zero rows/cols in R, preserving the padded
     convention.  One refinement pass keeps f32 orthogonality tight.
+
+    (A Pallas-Jacobi variant was measured and REJECTED: standalone it is
+    1.35x faster per call, but inside TDVP's per-site scans the kernel
+    launches made the whole period 4x slower -- the in-program small-n
+    eigh is cheap; see baselines/tdvp_tpu_probe.py and PERFORMANCE.md.)
     """
     G = cpx.einsum("ji,jk->ik", M.conj(), M)
     inv_sqrt, sqrt = hermitian_invsqrt(G, method=method)
@@ -446,8 +451,11 @@ def csvd(theta: C, method: str = "auto"):
 
     method: 'native' (complex LAPACK; CPU), 'gram_eigh' (TPU, fast
     selection), 'gram_eigh_gs' (TPU, scan-based Gram-Schmidt selection --
-    robust to pathological degeneracies, much slower), or 'auto' (native on
-    CPU backend, gram_eigh otherwise).
+    robust to pathological degeneracies, much slower), 'jacobi' (TPU
+    Pallas kernel, adaptive sweeps), or 'auto' (native on CPU backend,
+    gram_eigh otherwise -- in-program eigh is the measured winner for
+    the per-site scan call sites that use csvd; the kernel pays off only
+    on large batched calls, which route through csvd_topk).
     """
     if method == "auto":
         method = "native" if jax.default_backend() == "cpu" else "gram_eigh"
