@@ -49,7 +49,8 @@ def run(tag, tpx, tuned=False):
     jax.clear_caches()
     if tuned:
         jsvd_mod.jacobi_proj = functools.partial(
-            _orig_proj, tol=1e-6, tol_b=1e-6)
+            _orig_proj, tol=1e-6, tol_b=1e-6,
+            polish_b_iters=4, polish_iters=4)
     else:
         jsvd_mod.jacobi_proj = _orig_proj
     try:

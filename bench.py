@@ -197,6 +197,48 @@ _BACKEND_FAILURE_MARKS = ("FailedPrecondition", "DEADLINE_EXCEEDED",
                           "Accelerator device halted")
 
 
+def _wait_for_backend(deadline_s: float = 1500.0) -> None:
+    """Block until the jax backend initializes in a probe CHILD process.
+
+    A wedged axon worker hangs device init indefinitely (observed this
+    round: >1 h), which the exception-based retry below can never see --
+    the process just stalls until the driver kills it.  Probing in a
+    subprocess with a timeout converts the hang into a retryable failure;
+    the probe is pure init (no compile), so killing it mid-handshake does
+    not wedge the worker further.  Gives up after ``deadline_s``
+    (TCT_BENCH_BACKEND_DEADLINE) and lets main() surface the real error."""
+    import subprocess
+    import sys
+
+    if os.environ.get("TCT_BENCH_QUICK"):
+        # smoke-tier children run under their own ~1100 s timeout; a
+        # 25-minute wait here would convert a wedged worker into a
+        # suite-level timeout instead of a clean retryable failure
+        deadline_s = min(deadline_s, 300.0)
+    deadline_s = float(os.environ.get("TCT_BENCH_BACKEND_DEADLINE",
+                                      deadline_s))
+    t_end = time.time() + deadline_s
+    first = True
+    while True:
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                check=True, timeout=300,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.time() >= t_end:
+                print("bench: backend probe never succeeded within "
+                      f"{deadline_s:.0f}s; proceeding anyway",
+                      file=sys.stderr)
+                return
+            if first:
+                print("bench: backend unavailable; waiting for the TPU "
+                      "worker to recover...", file=sys.stderr)
+                first = False
+            time.sleep(120)
+
+
 def _main_with_retry() -> None:
     """One fresh-process retry on DEVICE failure only.
 
@@ -211,6 +253,7 @@ def _main_with_retry() -> None:
     import traceback
 
     try:
+        _wait_for_backend()
         main()
     except Exception as e:
         is_device = any(m in (type(e).__name__ + " " + str(e))
