@@ -197,6 +197,26 @@ class TestPallasJacobi:
             M = RNG.normal(size=shape) + 1j * RNG.normal(size=shape)
             self._check(M, tol=1e-8)
 
+    def test_tiny_widths(self):
+        """n <= 2 (incl. the n0=1 -> pad-to-2 case) routes through the
+        analytic single-pair rotation: the tournament cycle is undefined
+        for one pair and used to crash at trace time."""
+        for shape in ((5, 1), (5, 2), (2, 2), (3, 2)):
+            M = RNG.normal(size=shape) + 1j * RNG.normal(size=shape)
+            self._check(M, tol=1e-8)
+
+    def test_sv_single_pair(self):
+        """jacobi_sv on 2x2 theta uses the analytic pair rotation too."""
+        from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_sv
+        M = RNG.normal(size=(2, 2)) + 1j * RNG.normal(size=(2, 2))
+        S, V = jacobi_sv(_to_c(M), interpret=True)
+        s_ref, vh_ref = np.linalg.svd(M)[1:]
+        np.testing.assert_allclose(np.asarray(S), s_ref, atol=1e-8)
+        Vn = cpx.to_numpy(V)
+        # V spans the right singular subspace (columns up to phase)
+        ov = np.abs(vh_ref @ Vn)
+        np.testing.assert_allclose(ov, np.eye(2), atol=1e-7)
+
 
 class TestJacobiSV:
     """V-free transpose-trick kernel (jacobi_sv, the TEBD hot path):

@@ -235,12 +235,10 @@ class TestCustomFloquetContract:
         dense, t_dense, _ = fl.evolve_floquet_traces(psi0, 12, measure_every=1)
         sel = np.concatenate([[0], np.arange(0, 12, 3) + 1])
         np.testing.assert_allclose(t_sparse, np.asarray(t_dense)[sel])
-        for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi"):
+        for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi",
+                  "trunc_err"):
             np.testing.assert_allclose(sparse[k], dense[k][sel], atol=1e-12,
                                        err_msg=k)
-        # trunc_err is a block sum on the sparse path
-        np.testing.assert_allclose(np.sum(sparse["trunc_err"]),
-                                   np.sum(dense["trunc_err"]), atol=1e-12)
 
 
 class TestTruncationPath:

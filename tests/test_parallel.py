@@ -232,6 +232,27 @@ class TestSiteSharding:
         ov = float(cpx.abs2(overlap(ref_final, psi_sh)))
         np.testing.assert_allclose(ov, 1.0, atol=1e-12)
 
+    def test_rejects_periodic_bc(self):
+        """A periodic gate set must be rejected, not silently evolved as
+        an open chain (the wrap bond never rides the shard_map ring)."""
+        import pytest
+
+        from timecrystal_tpu.core.mps import create_initial_state
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+        from timecrystal_tpu.parallel.site_shard import (
+            evolve_floquet_sharded, site_mesh)
+        L = 16
+        hf = draw_disorder_reference(L, 0.3, 42)
+        gates = make_floquet_gates(1.0, jnp.asarray(hf, jnp.float64), 0.9,
+                                   theta=0.92 * np.pi, dtype=jnp.float64,
+                                   bc="periodic")
+        psi0 = create_initial_state(L, "neel", chi=16, dtype=jnp.float64)
+        tp = TruncParams(chi_max=0, svd_min=1e-14, svd_method="native")
+        with pytest.raises(NotImplementedError, match="periodic"):
+            evolve_floquet_sharded(psi0, gates, 2, tp, site_mesh(8))
+
     def test_rejects_bad_split(self):
         import pytest
 

@@ -210,6 +210,34 @@ class TestCheckpointIntegration:
         np.testing.assert_array_equal(np.asarray(psi.B.re),
                                       np.asarray(psi2.B.re))
 
+    def test_orbax_old_fallback_after_kill_mid_install(self, tmp_path):
+        """A kill between save_state's two install renames leaves only
+        <path>.orbax.old; state_exists/load_state must recover it instead
+        of silently restarting a long run from period 0."""
+        import os
+
+        from timecrystal_tpu.utils.checkpoint import (load_state, save_state,
+                                                      state_exists)
+        pytest = __import__("pytest")
+        psi = create_initial_state(6, "neel", chi=8)
+        path = str(tmp_path / "st")
+        try:
+            save_state(path, psi, {"period": 9}, format="orbax")
+        except RuntimeError:
+            pytest.skip("orbax not installed")
+        # simulate the kill window: target renamed aside, new one never
+        # landed
+        os.replace(path + ".orbax", path + ".orbax.old")
+        assert state_exists(path)
+        psi2, meta = load_state(path)
+        assert meta == {"period": 9}
+        np.testing.assert_array_equal(np.asarray(psi.B.re),
+                                      np.asarray(psi2.B.re))
+        # and a subsequent save installs a fresh target again
+        save_state(path, psi, {"period": 10}, format="orbax")
+        _, meta3 = load_state(path)
+        assert meta3 == {"period": 10}
+
 
 class TestMergedFrameAndPadding:
     def test_pad_mps_exact(self):

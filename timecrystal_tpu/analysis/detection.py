@@ -125,12 +125,19 @@ def score_phase_point(loschmidt_echoes, times, bond_dims, h_over_J: float,
         }
     except Exception as exc:  # failure masking per point (main.py:403-415)
         print(f"Error at h/J={h_over_J:.3f}, T*J={T_J:.3f}: {exc}")
-        return {
-            "A2T": 0.0, "dtc_score_raw": 0.0, "disorder_penalty": 0.0,
-            "heating_penalty": 0.0, "adiabatic_penalty": 0.0,
-            "entanglement_penalty": 0.0, "avg_bond_dim": 1.0,
-            "final_le": 0.0, "success": False,
-        }
+        return _failure_record()
+
+
+def _failure_record() -> Dict[str, float]:
+    """The sanitized failed-point record: same keys as a successful
+    score_phase_point result, all-zero scores, no NaN leaks into fields
+    downstream consumers may aggregate (final_le etc.)."""
+    return {
+        "A2T": 0.0, "dtc_score_raw": 0.0, "disorder_penalty": 0.0,
+        "heating_penalty": 0.0, "adiabatic_penalty": 0.0,
+        "entanglement_penalty": 0.0, "avg_bond_dim": 1.0,
+        "final_le": 0.0, "success": False,
+    }
 
 
 def score_grid(traces: Dict[str, np.ndarray], times, hs, Ts,
@@ -160,14 +167,7 @@ def score_grid(traces: Dict[str, np.ndarray], times, hs, Ts,
     for g in indices:
         le = le_all[g]
         if not np.all(np.isfinite(le)):
-            # fully sanitized failure record: no NaN leaks into fields
-            # downstream consumers may aggregate (final_le etc.)
-            out.append({
-                "A2T": 0.0, "dtc_score_raw": 0.0, "disorder_penalty": 0.0,
-                "heating_penalty": 0.0, "adiabatic_penalty": 0.0,
-                "entanglement_penalty": 0.0, "avg_bond_dim": 1.0,
-                "final_le": 0.0, "success": False,
-            })
+            out.append(_failure_record())
         else:
             t = times[g] if np.ndim(times) > 1 else times
             out.append(score_phase_point(le, t, chi_all[g], float(hs[g]),

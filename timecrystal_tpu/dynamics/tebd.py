@@ -49,8 +49,11 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
     measure_every=m > 1 evolves m periods per scan step and computes
     observables ONLY at measurement points (the round-1 version computed
     them every period and discarded host-side); requires
-    n_periods % m == 0.  trunc_err entries then hold the SUM over the m
-    periods of the block.  measure_phase selects the period WITHIN each
+    n_periods % m == 0.  Every trace entry -- including trunc_err, which
+    holds the per-period error of the MEASURED period -- equals the dense
+    (m=1) trace sampled at the measurement grid, so sparse and dense
+    measurement are interchangeable.  measure_phase selects the period
+    WITHIN each
     block after which observables are taken (0-based; default -1 = last,
     i.e. measurement j at period (j+1)*m).  measure_phase=0 reproduces the
     reference's storage grid (periods 1, m+1, 2m+1, ...; tebd_evolution.
@@ -90,19 +93,17 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
         phi0, e0 = ising_half_step(psi0, gates, tp)
 
         def block_fn(phi, _):
-            err = jnp.zeros((), psi0.lam.dtype)
             out = None
             for _i in range(m):
                 phi, e = floquet_period_merged(phi, gates, tp)
-                err = err + e
                 if _i == phase:
                     sz = expectation_one_site(phi, sz_op).re
                     le = cpx.abs2(overlap(phi_ref, phi))
                     ent = entanglement_entropy(phi)
                     chi_eff = bond_dimensions(phi)
                     out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
-                               max_chi=jnp.max(chi_eff[1:-1], initial=1))
-            out["trunc_err"] = err
+                               max_chi=jnp.max(chi_eff[1:-1], initial=1),
+                               trunc_err=e)
             return phi, out
 
         phi_final, traces = jax.lax.scan(block_fn, phi0, None,
@@ -111,21 +112,19 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
         return psi_final, traces
 
     def block_fn(psi, _):
-        err = jnp.zeros((), psi0.lam.dtype)
         out = None
         for _i in range(m):
             psi, e = floquet_period(psi, gates, tp)
-            err = err + e
             if _i == phase:
                 sz = expectation_one_site(psi, sz_op).re
                 le = cpx.abs2(overlap(ref_state, psi))
                 ent = entanglement_entropy(psi)
                 chi_eff = bond_dimensions(psi)
                 out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
-                           max_chi=jnp.max(chi_eff[1:-1], initial=1))
+                           max_chi=jnp.max(chi_eff[1:-1], initial=1),
+                           trunc_err=e)
                 if with_states:
                     out["states"] = psi
-        out["trunc_err"] = err
         return psi, out
 
     psi_final, traces = jax.lax.scan(block_fn, psi0, None, length=n_meas)
@@ -258,7 +257,7 @@ def _next_chi(chi: int, cap: int, growth: float) -> int:
     return min(cap, max(chi + 4, nc))
 
 
-def _stage_err_tol(dtype, svd_min: float = 0.0) -> float:
+def _stage_err_tol(dtype, svd_min: float = 0.0, bonds: int = 10) -> float:
     """Escalation threshold on per-period truncation error for chi-staged
     drivers: far above the dtype's SVD noise floor (junk discarded weight
     ~ n * (eps * sigma_max)^2), far below any physically meaningful
@@ -266,11 +265,13 @@ def _stage_err_tol(dtype, svd_min: float = 0.0) -> float:
 
     With a coarse ``svd_min`` (intentional lossy truncation, e.g. 1e-4)
     every period legitimately discards ~bonds * svd_min^2 of weight; the
-    threshold scales with that floor so the driver doesn't read routine
-    svd_min trimming as saturation and escalate to the cap (calibrated
-    values 1e-8/1e-20 assumed svd_min at the dtype noise level)."""
+    threshold scales with that floor -- INCLUDING the chain's bond count,
+    so long chains don't read routine svd_min trimming as saturation --
+    and the driver doesn't escalate to the cap over ordinary lossy
+    evolution (calibrated floors 1e-8/1e-20 assume svd_min at the dtype
+    noise level, where the floor term dominates regardless of L)."""
     floor = 1e-8 if jnp.dtype(dtype) == jnp.dtype(jnp.float32) else 1e-20
-    return max(floor, 100.0 * float(svd_min) ** 2)
+    return max(floor, 10.0 * max(int(bonds), 1) * float(svd_min) ** 2)
 
 
 def _stage_decision(trunc_err, exit_lam, chi: int, err_tol: float):
@@ -358,7 +359,7 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
     model_kwargs = dict(model_kwargs)
     model_kwargs["h_fields"] = model.h_fields
     model_kwargs.pop("disorder_seed", None)
-    err_tol = _stage_err_tol(model.dtype, tp.svd_min)
+    err_tol = _stage_err_tol(model.dtype, tp.svd_min, model.n_sites - 1)
     psi = create_initial_state(model.n_sites, state_type, chi=chi,
                                dtype=model.dtype)
     psi0 = psi

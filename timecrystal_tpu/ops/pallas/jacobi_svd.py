@@ -270,6 +270,48 @@ def _ns_polish(V: C, pk: int, iters: int = 12) -> C:
     return C(re, im)
 
 
+def _rotate_single_pair(A: C):
+    """Exact one-rotation one-sided Jacobi for a SINGLE column pair
+    (n = 2), plain jnp: the tournament kernels' cycle shuffle is undefined
+    for one pair (k = 1 malformed concat), and a lone pair needs no
+    tournament -- one complex rotation orthogonalizes it exactly.  Returns
+    (A', Vrot) with A' = A @ Vrot, same rotation convention as the
+    kernels (u' = cs u - sn conj(ph) v; v' = sn ph u + cs v)."""
+    L_re, L_im = A.re[..., :1], A.im[..., :1]
+    R_re, R_im = A.re[..., 1:], A.im[..., 1:]
+    a = jnp.sum(L_re * L_re + L_im * L_im, axis=-2)           # [B, 1]
+    b = jnp.sum(R_re * R_re + R_im * R_im, axis=-2)
+    c_re = jnp.sum(L_re * R_re + L_im * R_im, axis=-2)
+    c_im = jnp.sum(L_re * R_im - L_im * R_re, axis=-2)
+    absc = jnp.sqrt(c_re * c_re + c_im * c_im)
+    safe = absc > 1e-30
+    tau = jnp.where(safe, (b - a) / jnp.maximum(2 * absc, 1e-30), 0.0)
+    t_ = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau))
+    t_ = jnp.where(safe, t_, 0.0)
+    cs = 1.0 / jnp.sqrt(1 + t_ * t_)
+    sn = cs * t_
+    ph_re = jnp.where(safe, c_re / jnp.maximum(absc, 1e-30), 1.0)
+    ph_im = jnp.where(safe, c_im / jnp.maximum(absc, 1e-30), 0.0)
+    w1_re, w1_im = sn * ph_re, -sn * ph_im     # w1 = sn conj(ph)
+    w2_re, w2_im = sn * ph_re, sn * ph_im      # w2 = sn ph
+    cs_b = cs[..., None, :]
+    w1_re_b, w1_im_b = w1_re[..., None, :], w1_im[..., None, :]
+    w2_re_b, w2_im_b = w2_re[..., None, :], w2_im[..., None, :]
+    nL_re = cs_b * L_re - (w1_re_b * R_re - w1_im_b * R_im)
+    nL_im = cs_b * L_im - (w1_re_b * R_im + w1_im_b * R_re)
+    nR_re = (w2_re_b * L_re - w2_im_b * L_im) + cs_b * R_re
+    nR_im = (w2_re_b * L_im + w2_im_b * L_re) + cs_b * R_im
+    Ap = C(jnp.concatenate([nL_re, nR_re], axis=-1),
+           jnp.concatenate([nL_im, nR_im], axis=-1))
+    # [u' v'] = [u v] @ Vrot, Vrot = [[cs, w2], [-w1, cs]]
+    z = jnp.zeros_like(cs)
+    Vrot_re = jnp.stack([jnp.concatenate([cs, w2_re], axis=-1),
+                         jnp.concatenate([-w1_re, cs], axis=-1)], axis=-2)
+    Vrot_im = jnp.stack([jnp.concatenate([z, w2_im], axis=-1),
+                         jnp.concatenate([-w1_im, z], axis=-1)], axis=-2)
+    return Ap, C(Vrot_re, Vrot_im)
+
+
 def _orthogonalize_columns(A: C, max_sweeps: int, tol: float,
                            interpret: bool):
     """Run adaptive tournament sweeps on A C[B, m, n] (n even) until every
@@ -278,6 +320,9 @@ def _orthogonalize_columns(A: C, max_sweeps: int, tol: float,
     by its singular values (unsorted)."""
     Bn0, m, n = A.re.shape
     assert n % 2 == 0, "column count must be even for the tournament"
+    if n == 2:
+        Ap, _ = _rotate_single_pair(A)
+        return Ap
     # per matrix resident: A re+im (input aliased to output) + rotation and
     # concat value temporaries.  Empirical scoped-VMEM footprint on v5e is
     # ~10x m*n*itemsize per matrix (measured 105 MB at G=10, n=512), so
@@ -523,6 +568,17 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None,
                   jnp.concatenate([theta.im, zc], axis=-1))
     n = n0 + col_pad
 
+    if n == 2:
+        # single pair: the tournament cycle is undefined for k = 1 and
+        # unnecessary -- one exact jnp rotation replaces the kernel
+        Ap, Vrot = _rotate_single_pair(theta)
+        A_re, A_im = Ap.re, Ap.im
+        V_re, V_im = Vrot.re, Vrot.im
+        if col_pad:
+            A_re, A_im = A_re[..., :n0], A_im[..., :n0]
+            V_re, V_im = V_re[..., :n0, :n0], V_im[..., :n0, :n0]
+        return _usv_from_rotated(C(A_re, A_im), C(V_re, V_im), squeeze)
+
     # matrices per grid step: empirical scoped-VMEM footprint is ~10x the
     # resident arrays (rotation/cycle value temporaries); A is [m, n] re+im
     # and V is [n, n] re+im, both in/out aliased.  Budget 50 MB against the
@@ -592,8 +648,13 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None,
         A_re, A_im = A_re[..., :n0], A_im[..., :n0]
         V_re, V_im = V_re[..., :n0, :n0], V_im[..., :n0, :n0]
 
-    A = C(A_re, A_im)
-    V = C(V_re, V_im)
+    return _usv_from_rotated(C(A_re, A_im), C(V_re, V_im), squeeze)
+
+
+def _usv_from_rotated(A: C, V: C, squeeze: bool):
+    """(U, S, Vh) from an orthogonalized-column A and its accumulated
+    rotation V: sort by column norm descending, normalize (zero columns
+    for sigma ~ 0, padded convention)."""
     S = jnp.sqrt(jnp.sum(cpx.abs2(A), axis=-2))          # [B, n]
     order = jnp.argsort(-S, axis=-1)
     S = jnp.take_along_axis(S, order, axis=-1)

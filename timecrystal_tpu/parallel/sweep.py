@@ -211,7 +211,7 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
                                  _stage_err_tol)
 
     dtype = jnp.float32 if spec.dtype == "float32" else jnp.float64
-    err_tol = _stage_err_tol(dtype, spec.tp.svd_min)
+    err_tol = _stage_err_tol(dtype, spec.tp.svd_min, spec.L - 1)
     h_fields = jnp.asarray(h_fields)
     taus = jnp.asarray(taus, dtype)
     R_out = int(h_fields.shape[0])

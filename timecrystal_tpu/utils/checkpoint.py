@@ -56,18 +56,28 @@ def save_state(path: str, psi: MPS, metadata: Dict[str, Any] | None = None,
     if format == "orbax" and ckptr is None:
         raise RuntimeError("orbax requested but not importable")
     if ckptr is not None:
-        # atomic: orbax writes into a temp dir which is os.replace'd over
-        # the target, so a kill mid-save leaves the previous checkpoint
-        # intact (a bare rmtree+save window would lose it).
+        # crash-safe install: write the new checkpoint to <target>.tmp,
+        # RENAME (not rmtree) the previous one aside to <target>.old, swap
+        # the tmp in, then drop the old.  Every kill window leaves a
+        # complete checkpoint on disk: before the first rename it's
+        # <target>; between the renames it's <target>.old (which
+        # load_state/state_exists fall back to); after the swap it's the
+        # new <target>.  A bare rmtree(target)+replace had a window with
+        # NO complete checkpoint (the .tmp a kill mid-save leaves behind
+        # cannot be trusted).
         target = os.path.abspath(path) + ".orbax"
         tmp = target + ".tmp"
+        old = target + ".old"
         import shutil
         shutil.rmtree(tmp, ignore_errors=True)
         ckptr.save(tmp, {**arrays,
                          "__meta__": np.frombuffer(meta.encode(), np.uint8)
                          .copy()})
-        shutil.rmtree(target, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(target):
+            os.replace(target, old)
         os.replace(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
         return
     target = path if path.endswith(".npz") else path + ".npz"
     tmp = target + ".tmp"
@@ -78,9 +88,15 @@ def save_state(path: str, psi: MPS, metadata: Dict[str, Any] | None = None,
 
 
 def load_state(path: str, dtype=None):
-    """Returns (MPS, metadata dict); auto-detects orbax vs npz layout."""
+    """Returns (MPS, metadata dict); auto-detects orbax vs npz layout.
+
+    Falls back to <path>.orbax.old when <path>.orbax is absent: that is
+    the previous checkpoint a kill inside save_state's install swap can
+    leave behind (see save_state)."""
     orbax_path = (path if path.endswith(".orbax")
                   else os.path.abspath(path) + ".orbax")
+    if not os.path.isdir(orbax_path) and os.path.isdir(orbax_path + ".old"):
+        orbax_path = orbax_path + ".old"
     if os.path.isdir(orbax_path):
         ckptr = _orbax_checkpointer()
         if ckptr is None:
@@ -111,8 +127,10 @@ def atomic_savez(path: str, **arrays) -> None:
 
 
 def state_exists(path: str) -> bool:
-    """True when either checkpoint layout exists at ``path``."""
-    return (os.path.isdir(os.path.abspath(path) + ".orbax")
+    """True when either checkpoint layout exists at ``path`` (including a
+    .orbax.old left by a kill mid-install; load_state reads it)."""
+    base = os.path.abspath(path) + ".orbax"
+    return (os.path.isdir(base) or os.path.isdir(base + ".old")
             or os.path.exists(path if path.endswith(".npz") else path + ".npz"))
 
 
