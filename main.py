@@ -43,6 +43,10 @@ Examples:
     parser.add_argument("--synthetic-multisite", action="store_true",
                         help="Reproduce the reference's synthetic Figure-D "
                              "per-site traces instead of true expectations")
+    parser.add_argument("--cpu", action="store_true",
+                        help="Force the CPU backend (the TPU plugin ignores "
+                             "JAX_PLATFORMS; use this when the device is "
+                             "absent or its worker is wedged)")
     return parser.parse_args()
 
 
@@ -81,6 +85,9 @@ def _configure_matplotlib(phase_only: bool) -> None:
 
 def main() -> None:
     args = parse_arguments()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     print("=" * 60)
     print("TIME CRYSTAL PHYSICS - UNIFIED FIGURE GENERATION (TPU)")
