@@ -77,6 +77,55 @@ class TestTwoSiteGate:
         with pytest.raises(ValueError):
             apply_two_site_gate(psi, np.eye(4), 1, 3)
 
+    def test_reversed_site_order_asymmetric_gate(self):
+        """(i, j) = (2, 1) must act with the gate's FIRST site axis on
+        site 2: the i>j reorder exchanges the gate's site axes (a plain
+        swap used to apply CNOT with control and target exchanged)."""
+        from tests.exact_reference import _kron_at, product_statevector
+        L = 4
+        cnot = np.zeros((4, 4), dtype=complex)
+        cnot[0, 0] = cnot[1, 1] = cnot[2, 3] = cnot[3, 2] = 1.0
+        # |psi> = |0 1 0 0>: control on site 1 is |1>, so CNOT(control=2?,..)
+        psi = M.create_initial_state(L, "all_up", chi=8, dtype=DTYPE)
+        sx = np.array([[0, 1], [1, 0]], dtype=complex)
+        g1 = cpx.from_numpy(np.stack([np.eye(2), sx, np.eye(2), np.eye(2)]),
+                            dtype=DTYPE)
+        psi = M.apply_one_site_gates(psi, g1)
+        vec = product_statevector([0, 1, 0, 0])
+        # gate sites (2, 1): control = site 2 (|0>) -> state unchanged by
+        # CNOT(control=2, target=1); the buggy version controlled on site 1
+        psi_g = apply_two_site_gate(psi, cnot, 2, 1,
+                                    TruncParams(chi_max=0, svd_min=1e-14))
+        # dense: kron order must put the gate's first axis on site 2
+        vec_g = _kron_at(cnot, [2, 1], L) @ vec
+        v_mps = np.asarray(M.to_statevector(psi_g))
+        assert abs(abs(np.vdot(vec_g, v_mps)) - 1.0) < 1e-10
+
+    def test_gate_does_not_disturb_distant_bonds(self):
+        """A gate on sites (0, 1) must leave distant same-parity bonds'
+        Schmidt data untouched (the old path re-SVD'd and renormalized
+        every same-parity bond through identity gates)."""
+        import scipy.linalg
+        rng = np.random.default_rng(3)
+        L = 8
+        psi = M.create_initial_state(L, "all_up", chi=8, dtype=DTYPE)
+        # entangle bonds 4-5 region first
+        H4 = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        U4 = scipy.linalg.expm(-1j * 0.7 * (H4 + H4.conj().T))
+        psi = apply_two_site_gate(psi, U4, 4, 5,
+                                  TruncParams(chi_max=0, svd_min=1e-14))
+        lam_before = np.asarray(psi.lam).copy()
+        B_before = np.asarray(psi.B.re).copy()
+        # now a gate far away on (0, 1) -- with a coarse chi_max that WOULD
+        # truncate bond 5 if the identity-batch path were still in use
+        H0 = rng.normal(size=(4, 4)) + 1j * rng.normal(size=(4, 4))
+        U0 = scipy.linalg.expm(-1j * 0.5 * (H0 + H0.conj().T))
+        psi2 = apply_two_site_gate(psi, U0, 0, 1, {"chi_max": 2})
+        np.testing.assert_array_equal(np.asarray(psi2.lam)[5],
+                                      lam_before[5])
+        np.testing.assert_array_equal(np.asarray(psi2.B.re)[4:],
+                                      B_before[4:])
+
     def test_entangling_gate_vs_dense(self):
         """CZ-like diagonal gate + Hadamard-prepared pair vs dense linalg."""
         rng = np.random.default_rng(42)

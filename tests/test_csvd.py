@@ -205,6 +205,30 @@ class TestPallasJacobi:
             M = RNG.normal(size=shape) + 1j * RNG.normal(size=shape)
             self._check(M, tol=1e-8)
 
+    def test_equal_norm_parallel_columns(self):
+        """tau = 0 (exactly equal column norms, nonzero overlap) needs the
+        full 45-degree rotation; jnp.sign(0) = 0 used to skip it silently,
+        returning wrong singular values with no error."""
+        from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_sv, jacobi_svd
+        # rank-1, equal norms: true S = [sqrt(2), 0]
+        M = np.array([[1.0, 1.0], [0.0, 0.0]], dtype=np.complex128)
+        _, S, _ = jacobi_svd(_to_c(M), interpret=True)
+        np.testing.assert_allclose(np.asarray(S), [np.sqrt(2.0), 0.0],
+                                   atol=1e-12)
+        S2, _ = jacobi_sv(_to_c(np.array([[1.0, 0.0], [1.0, 0.0]],
+                                         dtype=np.complex128)),
+                          interpret=True)
+        np.testing.assert_allclose(np.asarray(S2), [np.sqrt(2.0), 0.0],
+                                   atol=1e-12)
+        # 4x4 all-equal: exercises the tournament kernels, true S = [2,0,0,0]
+        M4 = np.full((4, 4), 0.5, dtype=np.complex128)
+        _, S4, _ = jacobi_svd(_to_c(M4), interpret=True)
+        np.testing.assert_allclose(np.asarray(S4), [2.0, 0.0, 0.0, 0.0],
+                                   atol=1e-10)
+        S4b, _ = jacobi_sv(_to_c(M4), interpret=True)
+        np.testing.assert_allclose(np.asarray(S4b), [2.0, 0.0, 0.0, 0.0],
+                                   atol=1e-10)
+
     def test_sv_single_pair(self):
         """jacobi_sv on 2x2 theta uses the analytic pair rotation too."""
         from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_sv

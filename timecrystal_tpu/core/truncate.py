@@ -220,20 +220,19 @@ def apply_two_site_gate(psi: MPS, gate, i: int, j: int,
     """
     if abs(i - j) != 1:
         raise ValueError("Sites must be adjacent for two-site gate")
-    if i > j:
-        i, j = j, i
     tp = trunc_params if isinstance(trunc_params, TruncParams) else TruncParams.from_dict(
         trunc_params if isinstance(trunc_params, dict) else None)
     L, chi, d, _ = psi.B.re.shape
     if not isinstance(gate, C):
         gate = cpx.from_numpy(np.asarray(gate), dtype=psi.dtype)
     g = gate.reshape(d, d, d, d)
-    eye = jnp.einsum("pr,qs->pqrs", jnp.eye(d, dtype=psi.dtype),
-                     jnp.eye(d, dtype=psi.dtype))
-    gates_re = jnp.tile(eye[None], (L - 1, 1, 1, 1, 1)).at[i].set(g.re)
-    gates_im = jnp.zeros((L - 1, d, d, d, d), psi.dtype).at[i].set(g.im)
-    # Applying identity gates on the other same-parity bonds re-derives the
-    # same Schmidt data (exact in the truncation-free regime); a single-bond
-    # specialised path exists in dynamics/tdvp.py for sweeped algorithms.
-    psi_new, _ = apply_bond_gates(psi, C(gates_re, gates_im), start=i % 2, tp=tp)
+    if i > j:
+        # caller gave (right, left): exchange the gate's two site axes so
+        # an asymmetric gate (e.g. CNOT) keeps its control on site i
+        i, j = j, i
+        g = g.transpose(1, 0, 3, 2)
+    # single-bond update: ONLY bond i is re-SVD'd/truncated -- routing the
+    # gate through the batched same-parity kernel would also re-truncate
+    # and renormalize every untouched same-parity bond
+    psi_new, _ = apply_single_bond_gate(psi, g, i, tp)
     return psi_new

@@ -43,6 +43,35 @@ from .. import cpx
 from ..cpx import C
 
 
+def _pair_rotation(a, b, c_re, c_im):
+    """Complex Jacobi rotation parameters for column pairs: given column
+    norms a, b and complex overlap c = <L, R>, returns
+    (cs, w1_re, w1_im, w2_re, w2_im, t_, absc) for
+    u' = cs u - w1 v ; v' = w2 u + cs v with w1 = sn conj(ph), w2 = sn ph.
+
+    Shared by both Pallas sweep kernels (plain jnp traces fine under
+    Mosaic) and the n=2 analytic path, so the numerics exist exactly once.
+    The sign at tau = 0 is taken POSITIVE: equal-norm correlated pairs
+    need the full 45-degree rotation; ``jnp.sign`` returns 0 there, which
+    silently skipped the rotation and left equal-norm parallel columns
+    unresolved (wrong singular values, convergence measure never
+    dropping)."""
+    abs2c = c_re * c_re + c_im * c_im
+    absc = jnp.sqrt(abs2c)
+    safe = absc > 1e-30
+    tau = jnp.where(safe, (b - a) / jnp.maximum(2 * absc, 1e-30), 0.0)
+    sgn = jnp.where(tau >= 0, 1.0, -1.0)
+    t_ = sgn / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau))
+    t_ = jnp.where(safe, t_, 0.0)
+    cs = 1.0 / jnp.sqrt(1 + t_ * t_)
+    sn = cs * t_
+    ph_re = jnp.where(safe, c_re / jnp.maximum(absc, 1e-30), 1.0)
+    ph_im = jnp.where(safe, c_im / jnp.maximum(absc, 1e-30), 0.0)
+    w1_re, w1_im = sn * ph_re, -sn * ph_im
+    w2_re, w2_im = sn * ph_re, sn * ph_im
+    return cs, w1_re, w1_im, w2_re, w2_im, t_, absc
+
+
 def _jacobi_sweep_v_kernel(n: int):
     """ONE full tournament sweep over refs [G, m, n] rotating BOTH A and the
     V accumulator [G, n, n], with incremental column norms and the sweep's
@@ -80,19 +109,8 @@ def _jacobi_sweep_v_kernel(n: int):
             abs2c = c_re * c_re + c_im * c_im
             ratio = abs2c * inv_maxn2_sq
             ab_ref[:, 2, :] = jnp.maximum(ab_ref[:, 2, :], ratio)
-            absc = jnp.sqrt(abs2c)
-            safe = absc > 1e-30
-            tau = jnp.where(safe, (b - a) / jnp.maximum(2 * absc, 1e-30),
-                            0.0)
-            t_ = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau))
-            t_ = jnp.where(safe, t_, 0.0)
-            cs = 1.0 / jnp.sqrt(1 + t_ * t_)
-            sn = cs * t_
-            ph_re = jnp.where(safe, c_re / jnp.maximum(absc, 1e-30), 1.0)
-            ph_im = jnp.where(safe, c_im / jnp.maximum(absc, 1e-30), 0.0)
-            # u' = cs u - sn conj(phase) v ; v' = sn phase u + cs v
-            w1_re, w1_im = sn * ph_re, -sn * ph_im
-            w2_re, w2_im = sn * ph_re, sn * ph_im
+            cs, w1_re, w1_im, w2_re, w2_im, t_, absc = _pair_rotation(
+                a, b, c_re, c_im)
             cs_b = cs[:, None, :]
             w1_re_b, w1_im_b = w1_re[:, None, :], w1_im[:, None, :]
             w2_re_b, w2_im_b = w2_re[:, None, :], w2_im[:, None, :]
@@ -143,7 +161,8 @@ def _jacobi_sweep_kernel(n: int):
     accumulation (the caller runs it on theta^H and reads V as the
     normalized rotated columns) and incremental column norms (a, b carried
     through the tournament, recomputed fresh at sweep start).  Emits the
-    sweep's convergence measure max_pairs |c|^2/(a*b) so the caller's
+    sweep's convergence measure max_pairs |c|^2 / sigma_max^4 (same
+    measure as the V kernel) so the caller's
     XLA-level while_loop can stop sweeping early (TEBD thetas converge in
     far fewer sweeps than random matrices; in-kernel dynamic trip counts on
     vector-derived SMEM scalars proved unreliable under Mosaic, so the
@@ -183,18 +202,8 @@ def _jacobi_sweep_kernel(n: int):
             # by the cycle, but max over slots is permutation-invariant.
             ratio = abs2c * inv_maxn2_sq
             ab_ref[:, 2, :] = jnp.maximum(ab_ref[:, 2, :], ratio)
-            absc = jnp.sqrt(abs2c)
-            safe = absc > 1e-30
-            tau = jnp.where(safe, (b - a) / jnp.maximum(2 * absc, 1e-30),
-                            0.0)
-            t_ = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau))
-            t_ = jnp.where(safe, t_, 0.0)
-            cs = 1.0 / jnp.sqrt(1 + t_ * t_)
-            sn = cs * t_
-            ph_re = jnp.where(safe, c_re / jnp.maximum(absc, 1e-30), 1.0)
-            ph_im = jnp.where(safe, c_im / jnp.maximum(absc, 1e-30), 0.0)
-            w1_re, w1_im = sn * ph_re, -sn * ph_im
-            w2_re, w2_im = sn * ph_re, sn * ph_im
+            cs, w1_re, w1_im, w2_re, w2_im, t_, absc = _pair_rotation(
+                a, b, c_re, c_im)
             cs_b = cs[:, None, :]
             w1_re_b, w1_im_b = w1_re[:, None, :], w1_im[:, None, :]
             w2_re_b, w2_im_b = w2_re[:, None, :], w2_im[:, None, :]
@@ -283,17 +292,7 @@ def _rotate_single_pair(A: C):
     b = jnp.sum(R_re * R_re + R_im * R_im, axis=-2)
     c_re = jnp.sum(L_re * R_re + L_im * R_im, axis=-2)
     c_im = jnp.sum(L_re * R_im - L_im * R_re, axis=-2)
-    absc = jnp.sqrt(c_re * c_re + c_im * c_im)
-    safe = absc > 1e-30
-    tau = jnp.where(safe, (b - a) / jnp.maximum(2 * absc, 1e-30), 0.0)
-    t_ = jnp.sign(tau) / (jnp.abs(tau) + jnp.sqrt(1 + tau * tau))
-    t_ = jnp.where(safe, t_, 0.0)
-    cs = 1.0 / jnp.sqrt(1 + t_ * t_)
-    sn = cs * t_
-    ph_re = jnp.where(safe, c_re / jnp.maximum(absc, 1e-30), 1.0)
-    ph_im = jnp.where(safe, c_im / jnp.maximum(absc, 1e-30), 0.0)
-    w1_re, w1_im = sn * ph_re, -sn * ph_im     # w1 = sn conj(ph)
-    w2_re, w2_im = sn * ph_re, sn * ph_im      # w2 = sn ph
+    cs, w1_re, w1_im, w2_re, w2_im, _, _ = _pair_rotation(a, b, c_re, c_im)
     cs_b = cs[..., None, :]
     w1_re_b, w1_im_b = w1_re[..., None, :], w1_im[..., None, :]
     w2_re_b, w2_im_b = w2_re[..., None, :], w2_im[..., None, :]
@@ -520,18 +519,14 @@ def jacobi_proj(theta: C, k: int, max_sweeps: int | None = None,
     Q0 = _fixed_projection_basis(n, k, theta.dtype)
     T = cpx.einsum("bmn,nk->bmk", theta, Q0)
     Tm = _orthogonalize_columns(T, max_sweeps, tol_b, interpret)
+    _, Uhat = _cols_to_sv(Tm, polish=0)
     if polish_b_iters:
-        _, Uhat = _cols_to_sv(Tm, polish=0)
         Uhat = _ns_polish(Uhat, k, iters=polish_b_iters)
-    else:
-        _, Uhat = _cols_to_sv(Tm, polish=0)
     Y = cpx.einsum("bmn,bmk->bnk", theta.conj(), Uhat)
     Ym = _orthogonalize_columns(Y, max_sweeps, tol, interpret)
+    S, V = _cols_to_sv(Ym, polish=0)
     if polish:
-        S, V = _cols_to_sv(Ym, polish=0)
         V = _ns_polish(V, min(polish, k), iters=polish_iters)
-    else:
-        S, V = _cols_to_sv(Ym, polish=0)
     disc = jnp.sum(cpx.abs2(theta), axis=(-2, -1)) - jnp.sum(S * S, axis=-1)
     disc = jnp.maximum(disc, 0.0)
     if squeeze:
@@ -653,8 +648,12 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None,
 
 def _usv_from_rotated(A: C, V: C, squeeze: bool):
     """(U, S, Vh) from an orthogonalized-column A and its accumulated
-    rotation V: sort by column norm descending, normalize (zero columns
-    for sigma ~ 0, padded convention)."""
+    rotation V: sort by column norm descending, normalize.  Same
+    64*eps*sigma_max resolution floor as ``_cols_to_sv``: converged
+    zero-columns of a rank-deficient input carry rounding-noise norms
+    ~eps*sigma_max (far above any absolute threshold), and the documented
+    convention is that their sigmas AND U columns are zero, not unit-norm
+    noise directions."""
     S = jnp.sqrt(jnp.sum(cpx.abs2(A), axis=-2))          # [B, n]
     order = jnp.argsort(-S, axis=-1)
     S = jnp.take_along_axis(S, order, axis=-1)
@@ -662,7 +661,10 @@ def _usv_from_rotated(A: C, V: C, squeeze: bool):
           jnp.take_along_axis(A.im, order[:, None, :], axis=-1))
     V = C(jnp.take_along_axis(V.re, order[:, None, :], axis=-1),
           jnp.take_along_axis(V.im, order[:, None, :], axis=-1))
-    inv = jnp.where(S > 1e-30, 1.0 / jnp.maximum(S, 1e-30), 0.0)
+    floor = 64.0 * float(jnp.finfo(A.dtype).eps)
+    keep = S > floor * S[..., :1]
+    S = jnp.where(keep, S, 0.0)
+    inv = jnp.where(keep, 1.0 / jnp.maximum(S, 1e-30), 0.0)
     U = C(A.re * inv[:, None, :], A.im * inv[:, None, :])
     Vh = V.conj().transpose(0, 2, 1)
     if squeeze:
