@@ -228,6 +228,26 @@ class TestMeasureEvery:
                 np.asarray(dense["trunc_err"])[2::3],
                 np.asarray(sparse["trunc_err"]))
 
+    def test_trunc_err_boundary_key(self):
+        """Both frames expose trunc_err_boundary (merged: entry/exit
+        half-step truncation the per-period trace never sees; strict:
+        exactly zero).  The staged drivers fold it into saturation."""
+        from timecrystal_tpu.core.mps import create_initial_state
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+
+        L = 8
+        hf = draw_disorder_reference(L, 0.3, 42)
+        gates = make_floquet_gates(1.0, jnp.asarray(hf, jnp.float64), 0.9,
+                                   theta=0.92 * np.pi, dtype=jnp.float64)
+        psi0 = create_initial_state(L, "neel", chi=16, dtype=jnp.float64)
+        tp = TruncParams(chi_max=0, svd_min=1e-14, svd_method="native")
+        for frame, bound in (("strict", 0.0), ("merged", 1e-20)):
+            _, tr = evolve_floquet_scan(psi0, gates, 4, tp, frame=frame)
+            assert "trunc_err_boundary" in tr
+            assert float(np.asarray(tr["trunc_err_boundary"])) <= bound
+
     def test_non_divisor_rejected(self):
         import pytest
 

@@ -146,6 +146,77 @@ class TestCheckpointIntegration:
         np.testing.assert_allclose(tr_full["loschmidt_echo"],
                                    tr["loschmidt_echo"], rtol=0, atol=1e-12)
 
+    def test_evolve_floquet_auto_rejects_mismatched_resume(self, tmp_path):
+        """A resume with a changed Hamiltonian/state/ladder must refuse
+        (same fingerprint guard as evolve_batch_auto): a shape-compatible
+        checkpoint of a different run would silently continue the wrong
+        evolution."""
+        import pytest
+
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.dynamics.tebd import evolve_floquet_auto
+
+        mk = dict(n_sites=8, J=1.0, h_disorder=0.3, tau=0.9,
+                  disorder_seed=42, theta=0.92 * np.pi, dtype="float64")
+        tp = TruncParams(chi_max=0, svd_min=1e-12, svd_method="native")
+        ckdir = str(tmp_path / "fp_ck")
+        evolve_floquet_auto(mk, "neel", 4, tp, chi_start=8, chi_limit=16,
+                            chunk_periods=2, checkpoint_dir=ckdir)
+        bad = dict(mk, tau=1.1)
+        with pytest.raises(ValueError, match="different parameters"):
+            evolve_floquet_auto(bad, "neel", 8, tp, chi_start=8,
+                                chi_limit=16, chunk_periods=2,
+                                checkpoint_dir=ckdir)
+        with pytest.raises(ValueError, match="different parameters"):
+            evolve_floquet_auto(mk, "all_up", 8, tp, chi_start=8,
+                                chi_limit=16, chunk_periods=2,
+                                checkpoint_dir=ckdir)
+        # unchanged parameters with a longer horizon still resume fine
+        tr, _, _, _ = evolve_floquet_auto(mk, "neel", 8, tp, chi_start=8,
+                                          chi_limit=16, chunk_periods=2,
+                                          checkpoint_dir=ckdir)
+        assert tr["loschmidt_echo"].shape[0] == 9
+
+    def test_evolve_floquet_auto_chi_start_clamped_to_cap(self):
+        """chi_start above tp.chi_max must clamp (was padded at chi_start
+        with escalation permanently disabled and 8x wasted work)."""
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.dynamics.tebd import evolve_floquet_auto
+
+        mk = dict(n_sites=6, J=1.0, h_disorder=0.3, tau=0.9,
+                  disorder_seed=7, theta=0.92 * np.pi, dtype="float64")
+        tp = TruncParams(chi_max=8, svd_min=1e-12, svd_method="native")
+        _, _, info, _ = evolve_floquet_auto(mk, "neel", 4, tp,
+                                            chi_start=32, chi_limit=64,
+                                            chunk_periods=2)
+        assert info["chi_pad_used"] <= 8
+
+    def test_evolve_batch_auto_resume_shorter_n_periods(self, tmp_path):
+        """Resuming with a SMALLER n_periods than the checkpoint holds must
+        still return the contracted [R, n_periods+1] traces."""
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.parallel.sweep import (SweepSpec, _basis_indices,
+                                                    evolve_batch_auto)
+
+        tp = TruncParams(chi_max=0, svd_min=1e-12, svd_method="native")
+        rng = np.random.default_rng(5)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (2, 8)))
+        taus = jnp.asarray([0.9, 1.05])
+        basis = jnp.asarray(_basis_indices(8, "neel"))
+        spec = SweepSpec(L=8, chi=16, n_periods=8, theta=0.92 * np.pi,
+                         tp=tp, dtype="float64")
+        ckdir = str(tmp_path / "short_ck")
+        full, _ = evolve_batch_auto(hf, taus, basis, spec, chi_start=8,
+                                    chunk_periods=2, checkpoint_dir=ckdir)
+        short, _ = evolve_batch_auto(hf, taus, basis,
+                                     spec._replace(n_periods=4),
+                                     chi_start=8, chunk_periods=2,
+                                     checkpoint_dir=ckdir)
+        assert short["loschmidt_echo"].shape == (2, 5)
+        np.testing.assert_allclose(short["loschmidt_echo"],
+                                   full["loschmidt_echo"][:, :5],
+                                   atol=1e-12)
+
     def test_evolve_batch_auto_kill_and_resume(self, tmp_path):
         """Batched staged ensemble resumes from the last completed chunk:
         a partial run (6 of 10 periods) followed by a full run through the

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..core import gates as G
 from ..core.mps import (MPS, bond_dimensions, entanglement_entropy,
-                        expectation_one_site, overlap)
+                        expectation_one_site, max_bond_dimension, overlap)
 from ..core.truncate import TruncParams, apply_bond_gates
 from ..models.kicked_ising import FloquetGates, floquet_period
 from ..ops import cpx
@@ -100,15 +100,20 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
                     sz = expectation_one_site(phi, sz_op).re
                     le = cpx.abs2(overlap(phi_ref, phi))
                     ent = entanglement_entropy(phi)
-                    chi_eff = bond_dimensions(phi)
                     out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
-                               max_chi=jnp.max(chi_eff[1:-1], initial=1),
+                               max_chi=max_bond_dimension(phi),
                                trunc_err=e)
             return phi, out
 
         phi_final, traces = jax.lax.scan(block_fn, phi0, None,
                                          length=n_meas)
-        psi_final, _ = ising_half_step_inverse(phi_final, gates, tp)
+        psi_final, e_exit = ising_half_step_inverse(phi_final, gates, tp)
+        # frame-change bookkeeping error: the entry/exit half-steps can
+        # truncate real weight when the padded chi sits at the true rank
+        # (each chi-staged CHUNK pays one entry+exit).  Kept separate from
+        # the per-period trace so sparse/dense grids stay interchangeable;
+        # the staged drivers fold it into their saturation signal.
+        traces["trunc_err_boundary"] = e0 + e_exit
         return psi_final, traces
 
     def block_fn(psi, _):
@@ -119,15 +124,17 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
                 sz = expectation_one_site(psi, sz_op).re
                 le = cpx.abs2(overlap(ref_state, psi))
                 ent = entanglement_entropy(psi)
-                chi_eff = bond_dimensions(psi)
                 out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
-                           max_chi=jnp.max(chi_eff[1:-1], initial=1),
+                           max_chi=max_bond_dimension(psi),
                            trunc_err=e)
                 if with_states:
                     out["states"] = psi
         return psi, out
 
     psi_final, traces = jax.lax.scan(block_fn, psi0, None, length=n_meas)
+    # strict frame has no frame-change half-steps; keep the key for a
+    # uniform trace contract across frames
+    traces["trunc_err_boundary"] = jnp.zeros((), psi0.lam.dtype)
     return psi_final, traces
 
 
@@ -137,7 +144,7 @@ def _initial_observables(psi0: MPS) -> dict:
         sz_sites=expectation_one_site(psi0, sz_op).re,
         loschmidt_echo=cpx.abs2(overlap(psi0, psi0)),
         entropies=entanglement_entropy(psi0),
-        max_chi=jnp.max(bond_dimensions(psi0)[1:-1], initial=1),
+        max_chi=max_bond_dimension(psi0),
         trunc_err=jnp.zeros((), dtype=psi0.lam.dtype),
     )
 
@@ -346,7 +353,20 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
     tp = trunc_params if isinstance(trunc_params, TruncParams) \
         else TruncParams.from_dict(trunc_params)
     cap = min(tp.chi_max if tp.chi_max else chi_limit, chi_limit)
-    chi = min(chi_start, chi_limit)
+    # clamp to cap (not just chi_limit): tp.chi_max < chi_start would
+    # otherwise pad every tensor above the rank the truncation mask can
+    # ever use AND disable escalation (chi < cap always False)
+    chi = min(chi_start, cap)
+    if jax.default_backend() != "cpu":
+        # csvd's auto routing sends n = 2*chi < 32 to gram_eigh, whose
+        # junk sigmas poison the escalation criteria (see sweep._stage_tp);
+        # floor the ladder at chi=16 on the chip
+        chi = min(max(chi, 16), cap)
+    # fields drawn deterministically? (explicit h_fields or a seed) --
+    # decides whether they belong in the resume fingerprint below
+    caller_kwargs = dict(model_kwargs)
+    fields_deterministic = ("h_fields" in caller_kwargs
+                            or caller_kwargs.get("disorder_seed") is not None)
 
     start = time.time()
     model = KickedIsingModel(chi=chi, **model_kwargs)
@@ -369,13 +389,38 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
     chunks: list = []
 
     wall_prev = 0.0
+    fingerprint = None
     if checkpoint_dir is not None:
+        import hashlib
+
         from ..utils.checkpoint import (atomic_savez, load_state, save_state,
                                         state_exists)
         ck_state = os.path.join(checkpoint_dir, "auto_state")
         ck_traces = os.path.join(checkpoint_dir, "auto_traces.npz")
+        # Everything that must MATCH between the original run and a resume
+        # (only n_periods may change) -- same guard as evolve_batch_auto:
+        # a shape-compatible checkpoint of a different Hamiltonian would
+        # silently continue the wrong evolution.  Seedless fields are
+        # excluded (they differ per process by construction and the resume
+        # pins them from the checkpoint anyway); seeded/explicit fields
+        # are included and catch a changed seed.
+        fp_fields = (np.round(np.asarray(model.h_fields), 12).tolist()
+                     if fields_deterministic else None)
+        fp_kwargs = sorted(
+            (k, repr(v)) for k, v in caller_kwargs.items()
+            if k not in ("h_fields", "disorder_seed"))
+        fp_src = repr((fp_kwargs, fp_fields, state_type, tp, chi_start,
+                       chi_limit, measure_every, chunk_periods, frame,
+                       growth)).encode()
+        fingerprint = hashlib.sha256(fp_src).hexdigest()
         if state_exists(ck_state) and os.path.exists(ck_traces):
             psi, meta = load_state(ck_state)
+            ck_fp = meta.get("fingerprint")
+            if ck_fp is not None and ck_fp != fingerprint:
+                raise ValueError(
+                    f"checkpoint at {checkpoint_dir} was written by a run "
+                    "with different parameters (model/state/trunc/ladder); "
+                    "refusing to resume -- delete it or point elsewhere")
             p_done = int(meta["p_done"])
             chi = int(meta["chi"])
             escalations = list(meta.get("escalations", []))
@@ -411,8 +456,11 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
         # grow-ahead trigger.  Slot counts alone misfire in f32: junk
         # singular values ~eps*sigma_max pass the svd_min=1e-7 floor and
         # fill the padding without carrying weight.
-        saturated, ahead = _stage_decision(tr["trunc_err"], exit_lam, chi,
-                                           err_tol)
+        # include the merged-frame chunk-boundary half-step error: entry/
+        # exit can truncate real weight the per-period trace never sees
+        errs = np.append(np.ravel(tr["trunc_err"]),
+                         np.ravel(tr.get("trunc_err_boundary", 0.0)))
+        saturated, ahead = _stage_decision(errs, exit_lam, chi, err_tol)
         if saturated and chi < cap:
             # the chunk truncated real weight -> discard it and re-run from
             # the (still exact) pre-chunk state at 2x chi
@@ -454,6 +502,7 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
                         "n_chunks": len(chunks),
                         "n_rerun": n_rerun,
                         "wall_time": wall_prev + (time.time() - start),
+                        "fingerprint": fingerprint,
                         "h_fields": np.asarray(model.h_fields).tolist()})
 
     tr_all = {k: np.concatenate([c[k] for c in chunks], axis=0)
@@ -548,7 +597,7 @@ def trotter2_scan(psi0: MPS, gates_half: C, gates_full: C,
         psi, e2 = apply_bond_gates(psi, gates_full, start=1, tp=tp)
         psi, e3 = apply_bond_gates(psi, gates_half, start=0, tp=tp)
         ent = entanglement_entropy(psi)
-        chi_eff = jnp.max(bond_dimensions(psi)[1:-1], initial=1)
+        chi_eff = max_bond_dimension(psi)
         return psi, dict(entropies=ent, max_chi=chi_eff, trunc_err=e1 + e2 + e3)
 
     return jax.lax.scan(step_fn, psi0, None, length=n_steps)

@@ -29,8 +29,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import gates as G
-from ..core.mps import (bond_dimensions, entanglement_entropy,
-                        expectation_one_site, overlap, product_state)
+from ..core.mps import (entanglement_entropy, expectation_one_site,
+                        max_bond_dimension, overlap, product_state)
 from ..core.truncate import TruncParams
 from ..models.kicked_ising import make_floquet_gates
 from ..ops import cpx
@@ -80,7 +80,7 @@ def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec):
             psi, err = floquet_period(psi, gates, spec.tp)
         sz = expectation_one_site(psi, sz_op).re
         le = cpx.abs2(overlap(ref_state, psi))
-        chi_eff = jnp.max(bond_dimensions(psi)[1:-1], initial=1)
+        chi_eff = max_bond_dimension(psi)
         ent_mid = entanglement_entropy(psi)[L // 2]
         return psi, dict(sz_sites=sz, loschmidt_echo=le, max_chi=chi_eff,
                          entropy_mid=ent_mid, trunc_err=err)
@@ -130,7 +130,7 @@ def _resolve_svd_method(spec: SweepSpec, R: int) -> SweepSpec:
         return spec
     n = 2 * spec.chi
     total = R * max(spec.L - 1, 1)
-    method = "jacobi" if n % 2 == 0 and (n >= 256 or (total <= 64 and n >= 32)) \
+    method = "jacobi" if (n >= 256 or (total <= 64 and n >= 32)) \
         else "gram_eigh"
     return spec._replace(tp=spec.tp._replace(svd_method=method))
 
@@ -145,7 +145,25 @@ def _chunk_batch(psi_b, gates_b, psi0_b, n: int, tp: TruncParams, frame: str):
     return jax.vmap(one)(psi_b, gates_b, psi0_b)
 
 
-def _stage_tp(tp: TruncParams, chi: int, R: int, L: int) -> TruncParams:
+def _pad_to_mesh(h_fields, taus, mesh: Mesh, axis_name: str):
+    """Pad the realization batch to a mesh-size multiple (copies of
+    realization 0; callers slice them off the output) and place both
+    arrays with the batch-axis NamedSharding.  Returns
+    (h_fields, taus, place) with place = the device_put partial for any
+    further batch-shaped arrays."""
+    n_dev = mesh.devices.size
+    R = int(h_fields.shape[0])
+    pad_r = (-R) % n_dev
+    if pad_r:
+        h_fields = jnp.concatenate(
+            [h_fields, jnp.tile(h_fields[:1], (pad_r, 1))])
+        taus = jnp.concatenate([taus, jnp.tile(taus[:1], (pad_r,))])
+    place = partial(jax.device_put,
+                    device=NamedSharding(mesh, P(axis_name)))
+    return place(h_fields), place(taus), place
+
+
+def _stage_tp(tp: TruncParams, chi: int) -> TruncParams:
     """Per-stage svd_method resolution for the STAGED driver: always the
     Pallas Jacobi kernel on TPU (any batch size).
 
@@ -161,8 +179,7 @@ def _stage_tp(tp: TruncParams, chi: int, R: int, L: int) -> TruncParams:
     keeps the batch-aware rule (_resolve_svd_method)."""
     if tp.svd_method != "auto" or jax.default_backend() == "cpu":
         return tp
-    n = 2 * chi
-    method = "jacobi" if n % 2 == 0 and n >= 32 else "gram_eigh"
+    method = "jacobi" if 2 * chi >= 32 else "gram_eigh"
     return tp._replace(svd_method=method)
 
 
@@ -216,15 +233,7 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     taus = jnp.asarray(taus, dtype)
     R_out = int(h_fields.shape[0])
     if mesh is not None:
-        n_dev = mesh.devices.size
-        pad_r = (-R_out) % n_dev
-        if pad_r:
-            h_fields = jnp.concatenate(
-                [h_fields, jnp.tile(h_fields[:1], (pad_r, 1))])
-            taus = jnp.concatenate([taus, jnp.tile(taus[:1], (pad_r,))])
-        place = partial(jax.device_put,
-                        device=NamedSharding(mesh, P(axis_name)))
-        h_fields, taus = place(h_fields), place(taus)
+        h_fields, taus, place = _pad_to_mesh(h_fields, taus, mesh, axis_name)
     else:
         def place(x):
             return x
@@ -232,6 +241,12 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     L = spec.L
     cap = min(spec.chi, spec.tp.chi_max) if spec.tp.chi_max else spec.chi
     chi = min(chi_start, cap)
+    if jax.default_backend() != "cpu":
+        # stages below chi=16 (n < 32) would route to gram_eigh, whose
+        # junk sigmas poison the escalation criteria (_stage_tp docstring:
+        # the measured 32->64->128 runaway); chi=16 is cheap enough that
+        # starting lower never wins on the chip
+        chi = min(max(chi, 16), cap)
     n_periods = spec.n_periods
 
     start = _time.time()
@@ -296,13 +311,16 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
 
     while p_done < n_periods:
         n = min(chunk_periods, n_periods - p_done)
-        tp = _stage_tp(spec.tp, chi, R, L)
+        tp = _stage_tp(spec.tp, chi)
         psi_next, tr = _chunk_batch(psi, gates, psi0, n, tp, spec.frame)
         tr, exit_lam = jax.device_get((tr, psi_next.lam))
         # trunc-err / significant-rank escalation criteria (the batch
         # shares one schedule: ANY realization's truncation escalates all)
-        saturated, ahead = _stage_decision(tr["trunc_err"], exit_lam, chi,
-                                           err_tol)
+        # merged-frame chunk-boundary (entry/exit half-step) error included:
+        # the per-period trace never sees it
+        errs = np.append(np.ravel(tr["trunc_err"]),
+                         np.ravel(tr.get("trunc_err_boundary", 0.0)))
+        saturated, ahead = _stage_decision(errs, exit_lam, chi, err_tol)
         if saturated and chi < cap:
             new_chi = _next_chi(chi, cap, growth)
             escalations.append({"period": p_done, "from": chi, "to": new_chi})
@@ -339,9 +357,11 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
                         "fingerprint": fingerprint})
 
     wall_time = wall_prev + (_time.time() - start)
-    cat = {k: np.concatenate([c[k] for c in chunks], axis=1)
+    cat = {k: np.concatenate([c[k] for c in chunks], axis=1)[:, :n_periods]
            for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi",
                      "trunc_err")}
+    # the slice keeps the [R, n_periods(+1)] contract when a resume's
+    # checkpoint already holds MORE periods than this call requested
     basis = np.asarray(basis_indices)
     sz0 = np.broadcast_to((1.0 - 2.0 * basis).astype(cat["sz_sites"].dtype),
                           (R, L))
@@ -392,17 +412,8 @@ def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
     independently; results gather over ICI at the output.
     """
     mesh = mesh or default_mesh(axis_name)
-    n_dev = mesh.devices.size
-    R = h_fields.shape[0]
-    R_pad = int(-(-R // n_dev) * n_dev)
-    if R_pad != R:
-        pad = R_pad - R
-        h_fields = jnp.concatenate([h_fields, jnp.tile(h_fields[:1], (pad, 1))])
-        taus = jnp.concatenate([taus, jnp.tile(taus[:1], (pad,))])
-
-    batch_sharding = NamedSharding(mesh, P(axis_name))
-    h_fields = jax.device_put(h_fields, batch_sharding)
-    taus = jax.device_put(taus, batch_sharding)
+    R = int(h_fields.shape[0])
+    h_fields, taus, _ = _pad_to_mesh(h_fields, taus, mesh, axis_name)
     basis_indices = jax.device_put(jnp.asarray(basis_indices),
                                    NamedSharding(mesh, P()))
     out = evolve_batch(h_fields, taus, basis_indices, spec)
