@@ -43,6 +43,20 @@ class TestGramEigh:
         """Real theta: maximally structured J-degeneracy in the embedding."""
         _assert_svd(RNG.normal(size=(32, 32)) + 0j, "gram_eigh")
 
+    def test_threefold_degenerate_cluster(self):
+        """>=3-fold exactly-degenerate NONZERO sigma: the fast path's
+        one-step dedup cannot fix chains; the runtime defect guard must
+        fall back to the Gram-Schmidt selection instead of returning a
+        silently non-orthonormal V (was S errors up to 5% relative)."""
+        n = 16
+        U0, _ = np.linalg.qr(RNG.normal(size=(n, n))
+                             + 1j * RNG.normal(size=(n, n)))
+        V0, _ = np.linalg.qr(RNG.normal(size=(n, n))
+                             + 1j * RNG.normal(size=(n, n)))
+        s = np.concatenate([np.full(3, 3.0), np.full(4, 1.0),
+                            np.geomspace(0.5, 1e-3, n - 7)])
+        _assert_svd(U0 @ np.diag(s) @ V0.conj().T, "gram_eigh")
+
     def test_rank_one(self):
         n = 32
         r1 = np.outer(RNG.normal(size=n) + 1j * RNG.normal(size=n),

@@ -6,6 +6,7 @@ dense-statevector cross-checks of <sigma_z(t)> and the Loschmidt echo at the
 1e-8 level (truncation-free regime), which the reference never had.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -359,3 +360,26 @@ class TestPeriodicBC:
         # kicked_ising.py:92-98)
         terms = m.get_hamiltonian_terms()
         assert len(terms["ising_gates"]) == 8  # L-1 bulk + 1 boundary
+        # L=2 ring: the dynamics applies the boundary bond too (two bonds
+        # on a 2-site ring), so the analysis terms must include it
+        m2 = KickedIsingModel(2, 1.0, 0.2, 1.0, bc="periodic",
+                              disorder_seed=1)
+        assert len(m2.get_hamiltonian_terms()["ising_gates"]) == 2
+
+    def test_vmapped_theta_grid(self):
+        """make_floquet_gates must trace under vmap over THETA (the
+        phase-diagram pulse-angle axis): the exact-pi fast path used to
+        crash with TracerBoolConversionError on a traced theta."""
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+        hf = jnp.asarray(draw_disorder_reference(6, 0.3, 42), jnp.float64)
+        thetas = jnp.asarray([np.pi, 0.95 * np.pi])
+
+        kick_res = jax.vmap(
+            lambda th: make_floquet_gates(1.0, hf, 1.0, theta=th,
+                                          dtype=jnp.float64).kick.re)(thetas)
+        # element 0 must agree with the host-float exact-pi gate
+        exact = make_floquet_gates(1.0, hf, 1.0, theta=np.pi,
+                                   dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(kick_res[0]),
+                                   np.asarray(exact.kick.re), atol=1e-15)

@@ -62,7 +62,11 @@ def make_floquet_gates(J, h_fields: jax.Array, tau, theta=np.pi,
     """
     angles = G.ising_bond_phase_angles(J, h_fields, tau / 2.0)    # [L-1, 4]
     bond_gates = G.phases_to_bond_gates(angles, dtype=dtype)      # C[L-1,2,2,2,2]
-    if theta == np.pi:
+    if isinstance(theta, (int, float, np.floating)) \
+            and float(theta) == float(np.pi):
+        # exact -i sigma_x fast path -- host floats only: a Python branch
+        # on a TRACED theta would crash under jit/vmap (phase-diagram
+        # grids sweep theta), and x_rotation_gate is exact at pi anyway
         kick = G.pi_pulse_gate(dtype=dtype)
     else:
         kick = G.x_rotation_gate(theta, dtype=dtype)
@@ -278,7 +282,10 @@ class KickedIsingModel:
         psi = psi_initial
         for step in range(n_steps):
             psi, _ = floquet_period(psi, self.gates, tp)
-            states.append(psi)
+            # materialize on host as documented: keeping every per-step
+            # MPS device-resident accumulates O(n_steps) HBM (L=40
+            # chi=512 -> ~340 MB/state) and OOMs long runs
+            states.append(jax.device_get(psi))
             times.append((step + 1) * 2 * self.tau)  # full period = 2 tau
         return states, times
 
@@ -293,7 +300,10 @@ class KickedIsingModel:
             )
             for i in range(self.n_sites - 1)
         ]
-        if self.bc == "periodic" and self.n_sites > 2:
+        # no n_sites > 2 guard: the dynamics path applies the boundary gate
+        # for L = 2 too (a 2-site ring genuinely has two bonds), and the
+        # analysis terms must reconstruct the unitary actually applied
+        if self.bc == "periodic":
             ising_gates.append(np.asarray(G.expm_two_site(
                 G.two_site_hamiltonian(self.J, self.h_fields[-1], self.h_fields[0]),
                 self.tau / 2.0)))

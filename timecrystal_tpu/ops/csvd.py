@@ -206,6 +206,21 @@ def _svd_gram_eigh(theta: C, select: str = "fast"):
     cands = C(W[:n, :], W[n:, :])                    # [n, 2n] complex columns
     if select == "fast":
         V = _select_fast(cands, n)                   # [n, n]
+        # runtime guard for >=3-fold exactly-degenerate NONZERO sigma
+        # clusters: the one-step dedup cannot fix chains and used to
+        # return a silently non-orthonormal V.  Detect the residual
+        # defect and fall back to the scan-based Gram-Schmidt selection;
+        # lax.cond executes only the taken branch, so the generic case
+        # (defect ~eps) never pays for the scan.
+        gram = cpx.einsum("ji,jk->ik", V.conj(), V)
+        eye_n = jnp.eye(n, dtype=V.dtype)
+        defect = jnp.max(jnp.abs(gram.re - eye_n)) + jnp.max(jnp.abs(gram.im))
+        V_fast = V
+        V = jax.lax.cond(
+            defect > 1e-3,
+            lambda c: _orthonormal_select(c, n),
+            lambda _c: V_fast,
+            cands)
     else:
         V = _orthonormal_select(cands, n)            # [n, n]
     P = cpx.einsum("ij,jk->ik", theta, V)            # theta V = U S
@@ -298,76 +313,20 @@ def cqr_tall(M: C, method: str = "auto"):
     return Q, R
 
 
-def _ns_orthonormalize(Y: C, iters: int = 12) -> C:
-    """Column-orthonormalize Y [m, k] with matmuls only (Newton-Schulz on
-    the polar factor).  Prescaled by the Frobenius norm so ||Y||_2 <= 1;
-    rank-deficient directions converge to zero columns (padded convention).
-    """
-    nrm = jnp.sqrt(jnp.sum(cpx.abs2(Y))) + 1e-30
-    X = Y * (1.0 / nrm)
-    k = Y.shape[-1]
-    eye = jnp.eye(k, dtype=Y.dtype)
-    for _ in range(iters):
-        P = cpx.einsum("ji,jk->ik", X.conj(), X)
-        corr = C(1.5 * eye - 0.5 * P.re, -0.5 * P.im)
-        X = cpx.einsum("ij,jk->ik", X, corr)
-    return X
-
-
-def _subspace_sketch(n: int, k: int, dtype) -> C:
-    """Deterministic 'random' sketch [n, k]: quasi-random phases (no runtime
-    RNG state; same sketch every trace -- resumable/jit-friendly)."""
-    i = np.arange(n)[:, None]
-    j = np.arange(k)[None, :]
-    phase = 2 * np.pi * np.mod(i * j * 0.6180339887498949
-                               + 0.3819660112501051 * (i + 1), 1.0)
-    return C(jnp.asarray(np.cos(phase) / np.sqrt(n), dtype),
-             jnp.asarray(np.sin(phase) / np.sqrt(n), dtype))
-
-
-def _csvd_topk_proj(theta: C, k: int, n_power: int = 2):
-    """Truncated SVD: top-k right-singular triplets via randomized subspace
-    projection + half-size eigh.
-
-    Motivation (measured on the axon TPU): every XLA eigh call costs
-    ~150-200 ms regardless of batch/size up to 512, and ~600+ ms at 1024.
-    The TEBD update keeps only the top chi = n/2 triplets, so instead of an
-    eigh on the 2n x 2n real embedding we (1) power-iterate a k-dim
-    subspace basis with matmuls (0.2 ms each), (2) project the Gram to
-    k x k, (3) eigh the 2k x 2k real embedding -- half the size, at the
-    dispatch-cost floor.
-
-    Accuracy: directions with sigma below ~sqrt(eps)*sigma_max are below
-    the Gram resolution floor in EITHER path; the subspace boundary only
-    mixes directions whose weight is at the truncation-error level.
-    Returns (S [k], Vh C[k, n], disc) with disc = ||theta||_F^2 - sum S^2.
-    """
-    m, n = theta.shape[-2:]
-    G = cpx.einsum("ji,jk->ik", theta.conj(), theta)
-    Q = _subspace_sketch(n, k, theta.dtype)
-    for _ in range(n_power):
-        Q = cpx.einsum("ij,jk->ik", G, Q)
-        Q = _ns_orthonormalize(Q)
-    G2 = cpx.einsum("ji,jk->ik", Q.conj(), cpx.einsum("ij,jk->ik", G, Q))
-    w, V2 = heigh(G2, method="gram_eigh")       # ascending, k-dim complex
-    V2 = C(V2.re[:, ::-1], V2.im[:, ::-1])       # descending
-    V = cpx.einsum("ij,jk->ik", Q, V2)           # [n, k]
-    P = cpx.einsum("ij,jk->ik", theta, V)        # theta V = U S
-    S = jnp.sqrt(jnp.sum(cpx.abs2(P), axis=-2))  # unsquared accuracy
-    order = jnp.argsort(-S)
-    S = S[order]
-    V = C(V.re[:, order], V.im[:, order])
-    disc = jnp.sum(cpx.abs2(theta)) - jnp.sum(S * S)
-    return S, V.conj().transpose(), jnp.maximum(disc, 0.0)
-
-
-def csvd_topk(theta: C, k: int, method: str = "auto", n_power: int = 2,
+def csvd_topk(theta: C, k: int, method: str = "auto",
               jacobi_sweeps: int = 0):
     """Top-k truncated SVD: (S [.., k], Vh C[.., k, n], disc [..]).
 
     method 'auto': full native SVD + slice on CPU; on TPU the Pallas Jacobi
     kernel for small batches / the batched gram_eigh otherwise.
     jacobi_sweeps: 0 = dtype default.
+
+    CAVEAT (auto under vmap): the batch-size heuristic reads theta.shape,
+    which omits vmapped axes, so a large vmapped ensemble looks like a
+    small batch here and routes to the Jacobi kernel (VPU time linear in
+    the true batch).  Resolve the method OUTSIDE the vmap for ensemble
+    sweeps -- parallel/sweep._resolve_svd_method does exactly that for
+    the shipped drivers.
     """
     m, n = theta.shape[-2:]
     if method == "auto":
@@ -403,7 +362,9 @@ def csvd_topk(theta: C, k: int, method: str = "auto", n_power: int = 2,
             # polish iters 6: measured equal-accuracy to 12 on steady-state
             # thetas (baselines/chained_proj_timing.py); NS is quadratic, 6
             # iters resolve defects up to ~0.1 to the f32 floor.
-            S, V, disc = jacobi_proj(theta, k, polish=k,
+            S, V, disc = jacobi_proj(theta, k,
+                                     max_sweeps=jacobi_sweeps or None,
+                                     polish=k,
                                      polish_b_iters=6, polish_iters=6)
             Vh = C(jnp.swapaxes(V.re, -1, -2), -jnp.swapaxes(V.im, -1, -2))
             return S, Vh, disc
@@ -428,8 +389,6 @@ def csvd_topk(theta: C, k: int, method: str = "auto", n_power: int = 2,
         return (S[..., :k], C(Vh.re[..., :k, :], Vh.im[..., :k, :]), disc)
 
     def one(th):
-        if method == "proj":
-            return _csvd_topk_proj(th, k, n_power)
         if method == "native":
             U, S, Vh = _svd_native(th)
         elif method == "gram_eigh_gs":
