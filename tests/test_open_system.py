@@ -66,17 +66,11 @@ class TestStochasticDephasing:
         dt = 2 * tau
         sx_op = G.pauli_c("x", DTYPE)
 
-        def one(k):
-            psi_f, tr = _evolve_stochastic_scan(psi0, m.gates, k, gamma * dt,
-                                                n_periods,
-                                                TruncParams(svd_min=1e-14))
-            return tr  # has sz; need sx -- recompute below on final state only
-
         # evolve each trajectory and track <sx> at final time
         def sx_final(k):
-            psi_f, _ = _evolve_stochastic_scan(psi0, m.gates, k, gamma * dt,
-                                               n_periods,
-                                               TruncParams(svd_min=1e-14))
+            psi_f, _, _ = _evolve_stochastic_scan(psi0, m.gates, k, gamma * dt,
+                                                  n_periods,
+                                                  TruncParams(svd_min=1e-14))
             from timecrystal_tpu.core.mps import expectation_one_site
             return expectation_one_site(psi_f, sx_op).re
 
@@ -94,6 +88,43 @@ class TestLindblad:
         rho = density_mps_from_product(np.zeros(L, np.int32), chi, DTYPE)
         B_re = rho.B.re.at[:, 0, :, 0].set(0.5 * jnp.ones((L, 4), DTYPE))
         return MPS(B=cpx.C(B_re, rho.B.im), lam=rho.lam)
+
+    def test_expectation_complex_operator(self):
+        """Tr(O rho) for COMPLEX O: rho = (I + sigma_y)/2 must give
+        <sigma_y> = +1 (the old op.T probe computed Tr(conj(O) rho) and
+        returned -1)."""
+        L = 2
+        rho = density_mps_from_product(np.zeros(L, np.int32), 8, DTYPE)
+        # per-site rho = (I + sigma_y)/2 = [[0.5, -0.5j], [0.5j, 0.5]],
+        # vec layout row-major: (0.5, -0.5j, 0.5j, 0.5)
+        B_re = rho.B.re.at[:, 0, :, 0].set(
+            jnp.asarray([0.5, 0.0, 0.0, 0.5], DTYPE))
+        B_im = rho.B.im.at[:, 0, :, 0].set(
+            jnp.asarray([0.0, -0.5, 0.5, 0.0], DTYPE))
+        rho = MPS(B=cpx.C(B_re, B_im), lam=rho.lam)
+        sy = expectation_rho_one_site(rho, np.asarray(G.SIGMA_Y))
+        np.testing.assert_allclose(sy.real, 1.0, atol=1e-10)
+        np.testing.assert_allclose(sy.imag, 0.0, atol=1e-10)
+        sx = expectation_rho_one_site(rho, np.asarray(G.SIGMA_X))
+        np.testing.assert_allclose(sx.real, 0.0, atol=1e-10)
+
+    def test_stochastic_key_advances(self):
+        """Repeated evolve() calls on one instance must use fresh noise:
+        the key used to advance by one split while the scan consumed
+        n_periods subkeys, replaying n-1 of them on the next call."""
+        from timecrystal_tpu.core.mps import create_initial_state
+        from timecrystal_tpu.dynamics.open_system import OpenSystemEvolution
+        from timecrystal_tpu.models import KickedIsingModel
+        L = 4
+        m = KickedIsingModel(L, 1.0, 0.0, 1.0, disorder_seed=0, chi=8,
+                             dtype=DTYPE, theta=0.9 * np.pi)
+        ose = OpenSystemEvolution(m, gamma=0.3, max_chi=8, seed=7)
+        psi0 = create_initial_state(L, "all_up", chi=8, dtype=DTYPE)
+        tr1, _, _ = ose.evolve(psi0, 5)
+        tr2, _, _ = ose.evolve(psi0, 5)
+        # same state, same model: identical traces would mean replayed noise
+        assert not np.allclose(tr1["sz_sites"], tr2["sz_sites"]), \
+            "second evolve() replayed the first call's dephasing noise"
 
     def test_trace_preserved(self):
         L = 4

@@ -218,10 +218,13 @@ class TestAPIClasses:
         psi0 = create_initial_state(L, "neel", chi=chi, dtype=DTYPE)
         psi_gate = m.floquet_step(psi0, TruncParams(svd_min=1e-14))
 
+        # TDVPFloquetEvolution now builds the effective-field MPO itself
         tfe = TDVPFloquetEvolution(m, dt=0.05, max_chi=chi,
                                    tdvp_type="single_site")
-        tfe.mpo = ising_fields_mpo(L, m.J, eff, dtype=DTYPE)
-        tfe.engine.model = tfe.mpo
+        np.testing.assert_allclose(
+            np.asarray(tfe.mpo.W.re[1]),
+            np.asarray(ising_fields_mpo(L, m.J, eff, dtype=DTYPE).W.re[1]),
+            atol=1e-14)
         psi_tdvp = tfe.evolve_floquet_period(psi0)
 
         from timecrystal_tpu.core.mps import overlap

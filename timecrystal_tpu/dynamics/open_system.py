@@ -5,8 +5,8 @@ Rebuilds the reference's pyc-only module src/dynamics/open_system.py
 
   * ``OpenSystemEvolution``: pure-state approximation -- each Floquet period
     applies the model's floquet_step and then small random Z rotations per
-    site with angle ~ Normal(0, sqrt(2 gamma dt)) (stochastic unwinding of
-    the dephasing channel).  TPU-first upgrades: angles come from
+    site with angle ~ Normal(0, std sqrt(gamma dt)) (stochastic unwinding of
+    the dephasing channel: E[e^{2ia}] = e^{-2 gamma dt}).  TPU-first upgrades: angles come from
     ``jax.random`` folded per period inside the scan, and a whole
     TRAJECTORY ENSEMBLE can be vmapped and averaged (the reference runs a
     single trajectory).
@@ -73,8 +73,22 @@ def _evolve_stochastic_scan(psi0: MPS, gates, key, gamma_dt: float,
                                                 initial=1),
                                 trunc_err=err)
 
-    (psi_f, _), tr = jax.lax.scan(period_fn, (psi0, key), jnp.arange(n_periods))
-    return psi_f, tr
+    (psi_f, key_f), tr = jax.lax.scan(period_fn, (psi0, key),
+                                      jnp.arange(n_periods))
+    # key_f is returned so callers can ADVANCE their key past every subkey
+    # the scan consumed: advancing by a single split while the scan drew
+    # n_periods subkeys would replay n_periods-1 of them on the next call
+    # (correlated 'independent' trajectories, biased channel averages)
+    return psi_f, key_f, tr
+
+
+def _add_derived_traces(traces: Dict, L: int) -> None:
+    """Derive magnetization/staggered from sz_sites in place (shared by
+    the single-trajectory and ensemble paths)."""
+    traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
+    signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
+    traces["staggered_magnetization"] = \
+        (traces["sz_sites"] * signs).sum(-1) / L
 
 
 class OpenSystemEvolution:
@@ -102,25 +116,20 @@ class OpenSystemEvolution:
 
     def evolve_floquet_period(self, psi: MPS) -> MPS:
         """One drive period followed by the dephasing approximation."""
-        psi_f, _ = _evolve_stochastic_scan(psi, self.model.gates, self._key,
-                                           self.gamma * self._dt(), 1,
-                                           self.trunc_params)
-        self._key, _ = jax.random.split(self._key)
+        psi_f, self._key, _ = _evolve_stochastic_scan(
+            psi, self.model.gates, self._key, self.gamma * self._dt(), 1,
+            self.trunc_params)
         return psi_f
 
     def evolve(self, psi0: MPS, n_periods: int) -> Tuple[Dict, List[float], Dict]:
         """Single-trajectory evolution returning (traces, times, info)."""
         start = time.time()
-        psi_f, tr = _evolve_stochastic_scan(psi0, self.model.gates, self._key,
-                                            self.gamma * self._dt(), n_periods,
-                                            self.trunc_params)
+        psi_f, self._key, tr = _evolve_stochastic_scan(
+            psi0, self.model.gates, self._key, self.gamma * self._dt(),
+            n_periods, self.trunc_params)
         jax.block_until_ready(tr["sz_sites"])
-        self._key, _ = jax.random.split(self._key)
         traces = {k: np.asarray(v) for k, v in tr.items()}
-        traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
-        L = psi0.L
-        signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
-        traces["staggered_magnetization"] = (traces["sz_sites"] * signs).sum(-1) / L
+        _add_derived_traces(traces, psi0.L)
         times = [(p + 1) * self._dt() for p in range(n_periods)]
         info = {"wall_time": time.time() - start, "n_periods": n_periods,
                 "gamma": self.gamma}
@@ -135,7 +144,7 @@ class OpenSystemEvolution:
         start = time.time()
         fn = jax.vmap(lambda k: _evolve_stochastic_scan(
             psi0, self.model.gates, k, self.gamma * self._dt(), n_periods,
-            self.trunc_params)[1])
+            self.trunc_params)[2])
         tr = fn(keys[1:])
         jax.block_until_ready(tr["sz_sites"])
         sz = np.asarray(tr["sz_sites"])          # [T, n, L]
@@ -150,10 +159,7 @@ class OpenSystemEvolution:
                 "trunc_err": np.asarray(tr["trunc_err"]),    # [T, n]
             },
         }
-        traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
-        L = psi0.L
-        signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
-        traces["staggered_magnetization"] = (traces["sz_sites"] * signs).sum(-1) / L
+        _add_derived_traces(traces, psi0.L)
         times = [(p + 1) * self._dt() for p in range(n_periods)]
         info = {"wall_time": time.time() - start, "n_periods": n_periods,
                 "n_trajectories": n_trajectories, "gamma": self.gamma}
@@ -205,7 +211,10 @@ def expectation_rho_one_site(rho: MPS, op: np.ndarray) -> np.ndarray:
     from ..core.mps import overlap
     L = rho.L
     vals = np.zeros(L, dtype=complex)
-    opv = np.asarray(op).T.reshape(4)  # <vec(O)|vec(rho)> = Tr(O^dag rho)
+    # overlap() conjugates the probe: <vec(X)|vec(rho)> = Tr(X^dag rho),
+    # so the probe must be vec(O^dag) to return Tr(O rho).  (op.T alone
+    # gave Tr(conj(O) rho) -- wrong sign for sigma_y-class operators.)
+    opv = np.asarray(op).conj().T.reshape(4)
     for i in range(L):
         ident = vec_identity_mps(L, rho.chi, rho.dtype)
         B_re = ident.B.re.at[i, 0, :, 0].set(jnp.asarray(opv.real, rho.dtype))
@@ -258,14 +267,22 @@ class LindbladEvolution:
         g = np.diag(d).astype(complex)
         return G.gate_from_numpy(g, dtype=self.dtype)
 
-    def _single_step(self, rho: MPS, dt: float, gates_half: C, gates_full: C,
+    def _single_step(self, rho: MPS, gates_half: C, gates_full: C,
                      deph_half: C, tp: TruncParams) -> MPS:
         """One Strang step of the full Lindbladian: the DISSIPATOR is split
         symmetrically around the (itself Strang-split) Hamiltonian part, so
         the whole step is O(dt^2) even for bond terms that do not commute
         with the dephasing (dt-convergence verified in
         tests/test_open_system.py).  The dephasing semigroup is diagonal and
-        SVD-free, so the extra half-application costs nothing measurable."""
+        SVD-free, so the extra half-application costs nothing measurable.
+
+        Gauge caveat: the dephasing gates are NON-unitary, so after them
+        the B tensors are no longer exactly right-isometric while lam is
+        untouched; the following bond updates truncate in this slightly
+        degraded gauge.  The deviation is O(gamma dt) per step --
+        negligible at the shipped gamma*dt ~ 1e-3 -- but for strong
+        dissipation with tight chi the kept subspace can drift from the
+        optimal Schmidt subspace beyond the reported disc."""
         rho = apply_one_site_gates(rho, deph_half)
         rho, _ = apply_bond_gates(rho, gates_half, start=0, tp=tp)
         rho, _ = apply_bond_gates(rho, gates_full, start=1, tp=tp)
@@ -291,10 +308,12 @@ class LindbladEvolution:
         rho = rho_initial
         start = time.time()
         for k in range(n_steps):
-            rho = self._single_step(rho, dt, gates_half, gates_full,
+            rho = self._single_step(rho, gates_half, gates_full,
                                     deph_half, tp)
             if k % observe_every == 0:
-                rhos.append(rho)
+                # host materialization: device-resident state history
+                # accumulates O(n_steps) HBM (see KickedIsingModel.evolve)
+                rhos.append(jax.device_get(rho))
                 times.append((k + 1) * dt)
         info = {"wall_time": time.time() - start, "n_steps": n_steps,
                 "final_trace": complex(*map(float, trace_rho(rho)))}

@@ -496,7 +496,9 @@ class TDVPEvolution:
             psi, err = self.step(psi)
             terr += float(err)
             if k % observe_every == 0:
-                states.append(psi)
+                # host materialization (see KickedIsingModel.evolve):
+                # device-resident history accumulates O(n_steps) HBM
+                states.append(jax.device_get(psi))
                 times.append((k + 1) * self.dt)
                 chis.append(int(np.max(np.asarray(bond_dimensions(psi))[1:-1],
                                        initial=1)))
@@ -538,10 +540,14 @@ class TDVPEvolution:
             psi = _product_neel(L, min(self.max_chi, 32))
             saved, self.model = self.model, mpo
             try:
+                # untimed warm-up step: first call compiles the Lanczos-
+                # unrolled program, which would otherwise dominate wall_time
+                np.asarray(self.step(psi)[0].lam)
                 t0 = time.time()
                 for _ in range(n_periods):
                     psi, _ = self.step(psi)
-                jax.block_until_ready(psi.B.re)
+                np.asarray(psi.lam)   # fetch-sync (block_until_ready is a
+                                      # no-op through the axon tunnel)
                 results[L] = {"wall_time": time.time() - t0,
                               "periods_per_second": n_periods / (time.time() - t0)}
             finally:
@@ -562,9 +568,23 @@ class TDVPFloquetEvolution:
         self.max_chi = int(max_chi)
         self.tdvp_type = tdvp_type
         self.lanczos_params = {**DEFAULT_LANCZOS, **(lanczos_params or {})}
+        if getattr(kicked_ising_model, "bc", "open") == "periodic":
+            # the open-chain MPO below has no J Z_0 Z_{L-1} wrap term;
+            # reject rather than silently evolve different physics than
+            # the gate path (which routes gates.boundary_gate)
+            raise NotImplementedError(
+                "TDVPFloquetEvolution supports open chains only; "
+                "bc='periodic' is routed by the gate-based CustomFloquet")
+        # EFFECTIVE field profile of the gate path: the reference double-
+        # counts interior fields (each bond gate carries the full h_i of
+        # both its sites -- replicated quirk #2, models/kicked_ising.py),
+        # so the integrator must see 2*h_i in the bulk to evolve the SAME
+        # Hamiltonian as model.floquet_step
+        h_eff = np.asarray(self.model.h_fields).copy()
+        if h_eff.shape[0] > 2:
+            h_eff[1:-1] *= 2.0
         self.mpo = ising_fields_mpo(self.model.n_sites, self.model.J,
-                                    self.model.h_fields,
-                                    dtype=self.model.dtype)
+                                    h_eff, dtype=self.model.dtype)
         self.engine = TDVPEvolution(self.mpo, dt=dt, max_chi=max_chi,
                                     tdvp_type=tdvp_type,
                                     lanczos_params=self.lanczos_params)
@@ -608,6 +628,10 @@ class TDVPFloquetEvolution:
                                         dtype=self.model.dtype)
             flo = CustomFloquet(m, TruncParams(chi_max=self.max_chi,
                                                svd_min=1e-10))
+            # one untimed period of each path first: the jitted programs
+            # compile on first call (the TDVP Lanczos unroll especially),
+            # and at small n_periods the compile would dominate 'speedup'
+            np.asarray(flo.model.floquet_step(psi0, flo.trunc_params).lam)
             t0 = time.time()
             psi_tebd = psi0
             for _ in range(n_periods):
@@ -618,6 +642,7 @@ class TDVPFloquetEvolution:
             tfe = TDVPFloquetEvolution(m, dt=self.dt, max_chi=self.max_chi,
                                        tdvp_type=self.tdvp_type,
                                        lanczos_params=self.lanczos_params)
+            np.asarray(tfe.evolve_floquet_period(psi0).lam)   # warm compile
             t0 = time.time()
             psi_tdvp = psi0
             for _ in range(n_periods):
