@@ -61,6 +61,28 @@ class TestStates:
             M.create_initial_state(4, "bogus", chi=4)
 
 
+class TestComplexScalarCoercion:
+    def test_complex_scalar_operand(self):
+        """C * (python complex) must do the complex product: a complex
+        scalar used to be treated as real, silently landing its imaginary
+        part in the .re field."""
+        a = cpx.C(jnp.asarray([1.0, 2.0]), jnp.asarray([0.5, -1.0]))
+        ref = (np.asarray(a.re) + 1j * np.asarray(a.im)) * (1 + 2j)
+        out = a * (1 + 2j)
+        assert not np.iscomplexobj(np.asarray(out.re))
+        np.testing.assert_allclose(np.asarray(out.re), ref.real, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(out.im), ref.imag, atol=1e-12)
+        out2 = a * (-1j)
+        np.testing.assert_allclose(np.asarray(out2.re),
+                                   np.asarray(a.im), atol=1e-12)
+        out3 = (a + 2j) - 1j
+        np.testing.assert_allclose(np.asarray(out3.im),
+                                   np.asarray(a.im) + 1.0, atol=1e-12)
+        out4 = a / (1j)
+        np.testing.assert_allclose(np.asarray(out4.re),
+                                   np.asarray(a.im), atol=1e-12)
+
+
 class TestTwoSiteGate:
     def test_identity_gate_preserves_state(self):
         psi = M.create_initial_state(6, "neel", chi=8, dtype=DTYPE)

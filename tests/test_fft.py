@@ -62,6 +62,46 @@ class TestBatchedSubharmonic:
                                                 period)[0])
         assert a > 0.8
 
+    def test_short_series_guard(self):
+        """Traces < 10 samples score 0.0 like the host recipe (used to
+        return a spurious 1.0 at n=3 and crash on empty bins at n<=2)."""
+        for n in (2, 3, 9):
+            times = np.arange(n) * 2.0
+            series = np.cos(np.pi * np.arange(n))
+            out = np.asarray(batched_subharmonic_amplitude(
+                jnp.asarray(times), jnp.asarray(series[None]), 4.0))
+            host = extract_subharmonic_amplitude(times, series, 4.0)
+            np.testing.assert_allclose(out, [host])
+            np.testing.assert_allclose(out, [0.0])
+
+    def test_nonfinite_trace_returns_nan(self):
+        """A NaN sample must surface as NaN (the silent 0.0 read as a
+        false 'no time crystal'); ensemble_a2t recomputes such traces
+        host-side with the reference's finite-subset recipe."""
+        n = 60
+        times = np.arange(n) * 2.0
+        good = np.cos(np.pi * np.arange(n))
+        bad = good.copy()
+        bad[30] = np.nan
+        out = np.asarray(batched_subharmonic_amplitude(
+            jnp.asarray(times), jnp.asarray(np.stack([good, bad])), 4.0))
+        assert np.isfinite(out[0])
+        assert np.isnan(out[1])
+
+    def test_ensemble_a2t_nonfinite_falls_back_to_host(self):
+        from timecrystal_tpu.parallel.sweep import ensemble_a2t
+        n = 60
+        good = np.cos(np.pi * np.arange(n + 1))
+        bad = good.copy()
+        bad[30] = np.nan
+        traces = {"staggered_magnetization": np.stack([good, bad])}
+        taus = np.array([2.0, 2.0])
+        out = np.asarray(ensemble_a2t(traces, taus))
+        times = np.arange(n + 1) * 4.0
+        host_bad = extract_subharmonic_amplitude(times, bad, 4.0)
+        assert np.isfinite(out).all()
+        np.testing.assert_allclose(out[1], host_bad, atol=1e-7)
+
     def test_per_trace_drive_periods(self):
         n = 120
         times = np.arange(n) * 1.0

@@ -23,6 +23,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _coerce(other):
+    """Non-C COMPLEX operands -> C.  A complex scalar/array used to fall
+    through the real-operand fallback and silently become part of the .re
+    field, corrupting the (re, im) invariant (wrong numbers on CPU, a
+    delayed UNIMPLEMENTED crash on the complex-free TPU backend).  The
+    natural ``psi * (-1j)`` now does the right thing."""
+    if isinstance(other, complex):
+        return C(jnp.asarray(other.real), jnp.asarray(other.imag))
+    dt = getattr(other, "dtype", None)
+    if dt is not None and jnp.issubdtype(dt, jnp.complexfloating):
+        return C(jnp.real(other), jnp.imag(other))
+    return other
+
+
 class C(NamedTuple):
     """A complex tensor as a (re, im) pair of identically-shaped real arrays."""
 
@@ -42,23 +56,28 @@ class C(NamedTuple):
         return self.re.dtype
 
     def __add__(self, other):
+        other = _coerce(other)
         if isinstance(other, C):
             return C(self.re + other.re, self.im + other.im)
         return C(self.re + other, self.im)
 
     def __sub__(self, other):
+        other = _coerce(other)
         if isinstance(other, C):
             return C(self.re - other.re, self.im - other.im)
         return C(self.re - other, self.im)
 
     def __mul__(self, other):
-        """Elementwise product; ``other`` may be C or a real array/scalar."""
+        """Elementwise product; ``other`` may be C, a real array/scalar, or
+        a complex scalar/array (coerced to C -- see _coerce)."""
+        other = _coerce(other)
         if isinstance(other, C):
             return C(self.re * other.re - self.im * other.im,
                      self.re * other.im + self.im * other.re)
         return C(self.re * other, self.im * other)
 
     def __truediv__(self, other):
+        other = _coerce(other)
         if isinstance(other, C):
             d = other.re * other.re + other.im * other.im
             return C((self.re * other.re + self.im * other.im) / d,
@@ -116,8 +135,15 @@ _PRECISION = "highest"
 
 
 def set_precision(p: str) -> None:
+    """Set the matmul precision for all subsequent complex contractions.
+
+    _PRECISION is read at TRACE time and is not part of any jit cache key,
+    so already-compiled programs would silently keep their old precision;
+    clearing the jax caches forces a retrace at the new setting (the next
+    call of each program pays one recompile)."""
     global _PRECISION
     _PRECISION = p
+    jax.clear_caches()
 
 
 def einsum(spec: str, *ops) -> C:

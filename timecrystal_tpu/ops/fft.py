@@ -21,17 +21,29 @@ device call; parity vs the host implementation is regression-tested.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _dft_matrices(n: int, dtype):
-    """cos/sin DFT matrices [n, n]: X_k = sum_j x_j exp(-2 pi i j k / n)."""
+@functools.lru_cache(maxsize=64)
+def _dft_matrices_cached(n: int, dtype_name: str):
     j = np.arange(n)[:, None].astype(np.float64)
     k = np.arange(n)[None, :].astype(np.float64)
     ang = 2.0 * np.pi * np.mod(j * k / n, 1.0)
-    return (jnp.asarray(np.cos(ang), dtype), jnp.asarray(np.sin(ang), dtype))
+    return (jnp.asarray(np.cos(ang), dtype_name),
+            jnp.asarray(np.sin(ang), dtype_name))
+
+
+def _dft_matrices(n: int, dtype):
+    """cos/sin DFT matrices [n, n]: X_k = sum_j x_j exp(-2 pi i j k / n).
+
+    lru-cached per (n, dtype): uncompiled rdft/power_spectrum calls would
+    otherwise rebuild O(n^2) host trig and re-upload 2 n^2 floats per call
+    (inside jit the matrices are baked as program constants either way)."""
+    return _dft_matrices_cached(int(n), jnp.dtype(dtype).name)
 
 
 def rdft(x: jax.Array, axis: int = -1):
@@ -85,6 +97,11 @@ def batched_subharmonic_amplitude(times: jax.Array, series: jax.Array,
     """
     times = jnp.asarray(times)
     series = jnp.asarray(series)
+    if series.shape[-1] < 10:
+        # host-recipe guard (observables.extract_subharmonic_amplitude):
+        # traces shorter than 10 samples score 0.0 -- without this, tiny
+        # n returns spurious A2T = 1.0 and n <= 2 crashes on empty bins
+        return jnp.zeros(series.shape[:-1], series.dtype)
     if times.ndim == 1:
         dt = jnp.mean(jnp.diff(times))
     else:
@@ -92,4 +109,12 @@ def batched_subharmonic_amplitude(times: jax.Array, series: jax.Array,
     period = jnp.asarray(drive_period, series.dtype)
     period = jnp.broadcast_to(period, series.shape[:-1])
     dt = jnp.broadcast_to(jnp.asarray(dt, series.dtype), series.shape[:-1])
-    return _subharm_core(series, dt, period)
+    out = _subharm_core(series, dt, period)
+    # Non-finite traces: the host recipe computes A2T of the FINITE subset
+    # (a dynamic shape no fixed-shape device program can express).  A NaN
+    # poisons the DFT and used to fall out as a silent 0.0 -- a false
+    # 'no time crystal'.  Return NaN instead so the divergence is VISIBLE;
+    # callers needing the host semantics (ensemble_a2t) recompute those
+    # realizations host-side.
+    finite = jnp.all(jnp.isfinite(series), axis=-1)
+    return jnp.where(finite, out, jnp.nan)

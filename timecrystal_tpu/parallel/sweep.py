@@ -498,4 +498,17 @@ def ensemble_a2t(traces, taus, series_key: str = "staggered_magnetization"):
     R, n1 = series.shape
     taus = jnp.asarray(taus, series.dtype)
     times = jnp.arange(n1, dtype=series.dtype)[None, :] * (2.0 * taus)[:, None]
-    return batched_subharmonic_amplitude(times, series, 2.0 * taus)
+    a2t = batched_subharmonic_amplitude(times, series, 2.0 * taus)
+    a2t_np = np.array(a2t)          # writable host copy
+    if np.isnan(a2t_np).any():
+        # non-finite traces come back NaN from the device recipe (a fixed-
+        # shape program cannot drop samples); recompute those few with the
+        # host recipe, which filters invalid samples like the reference
+        from ..core.observables import extract_subharmonic_amplitude
+        t_np, s_np, tau_np = (np.asarray(times), np.asarray(series),
+                              np.asarray(taus))
+        for r in np.flatnonzero(np.isnan(a2t_np)):
+            a2t_np[r] = extract_subharmonic_amplitude(
+                t_np[r], s_np[r], 2.0 * float(tau_np[r]))
+        return jnp.asarray(a2t_np)
+    return a2t
