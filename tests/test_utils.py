@@ -281,6 +281,55 @@ class TestCheckpointIntegration:
         np.testing.assert_array_equal(np.asarray(psi.B.re),
                                       np.asarray(psi2.B.re))
 
+    def test_sweep_checkpointer_fingerprint_mismatch(self, tmp_path):
+        """A manifest written under a different fingerprint must refuse to
+        resume (misaligned chunks silently painted wrong grid points)."""
+        import pytest
+
+        from timecrystal_tpu.utils.checkpoint import SweepCheckpointer
+        d = str(tmp_path / "sweep")
+        ck = SweepCheckpointer(d, fingerprint="AAA")
+        ck.save_chunk(0, {"x": np.arange(3.0)})
+        assert SweepCheckpointer(d, fingerprint="AAA").completed_chunks() == {0}
+        with pytest.raises(ValueError, match="different parameters"):
+            SweepCheckpointer(d, fingerprint="BBB").completed_chunks()
+
+    def test_sweep_checkpointer_survives_truncated_manifest(self, tmp_path):
+        """The manifest is installed atomically; simulate the OLD failure
+        (partial write) and confirm a fresh save path never produces it:
+        after save_chunk, the manifest always parses."""
+        import json
+
+        from timecrystal_tpu.utils.checkpoint import SweepCheckpointer
+        d = str(tmp_path / "sweep2")
+        ck = SweepCheckpointer(d)
+        for i in range(5):
+            ck.save_chunk(i, {"x": np.arange(4.0)})
+            with open(ck.manifest_path) as f:
+                assert set(json.load(f)["chunks"]) == set(range(i + 1))
+
+    def test_npz_not_shadowed_by_stale_orbax(self, tmp_path):
+        """When both formats exist at one path, the NEWER wins: a stale
+        .orbax dir used to shadow a newer npz (silently restoring old
+        state, or refusing to resume when orbax broke)."""
+        import time as _t
+
+        from timecrystal_tpu.utils.checkpoint import load_state, save_state
+        pytest = __import__("pytest")
+        psi_a = create_initial_state(6, "neel", chi=8)
+        psi_b = create_initial_state(6, "all_up", chi=8)
+        path = str(tmp_path / "st_shadow")
+        try:
+            save_state(path, psi_a, {"v": 1}, format="orbax")
+        except RuntimeError:
+            pytest.skip("orbax not installed")
+        _t.sleep(0.05)
+        save_state(path, psi_b, {"v": 2}, format="npz")
+        psi2, meta = load_state(path)
+        assert meta == {"v": 2}
+        np.testing.assert_array_equal(np.asarray(psi2.B.re),
+                                      np.asarray(psi_b.B.re))
+
     def test_orbax_old_fallback_after_kill_mid_install(self, tmp_path):
         """A kill between save_state's two install renames leaves only
         <path>.orbax.old; state_exists/load_state must recover it instead

@@ -77,6 +77,8 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
         # the remainder evolves (kill-and-resume covered by
         # tests/test_utils.py).  Chunks share one padded size so every chunk
         # reuses the same compiled program.
+        import hashlib
+
         import jax.numpy as jnp
 
         from ..utils.checkpoint import SweepCheckpointer
@@ -84,7 +86,15 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
         B = int(h_fields.shape[0])
         cs = int(chunk_size or max(1, -(-B // 8)))
         n_chunks = -(-B // cs)
-        ck = SweepCheckpointer(checkpoint_dir)
+        # everything that must MATCH for loaded chunks to align with this
+        # grid: fields/taus define the points, cs defines the chunk->row
+        # mapping, spec the evolution -- a stale/misaligned checkpoint
+        # would otherwise silently paint wrong A2T at wrong grid points
+        fp_src = repr((np.round(np.asarray(h_fields), 12).tolist(),
+                       np.round(np.asarray(taus), 12).tolist(),
+                       np.asarray(basis).tolist(), spec, cs)).encode()
+        ck = SweepCheckpointer(checkpoint_dir,
+                               fingerprint=hashlib.sha256(fp_src).hexdigest())
         done = ck.completed_chunks()
         parts = {}
         for c in range(n_chunks):

@@ -12,22 +12,26 @@ import os
 
 _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache",
                             "timecrystal_tpu_xla")
-_enabled = False
+_enabled_path: str | None = None
 
 
 def enable_compilation_cache(directory: str | None = None) -> str:
-    """Idempotently enable the JAX persistent compilation cache."""
-    global _enabled
+    """Idempotently enable the JAX persistent compilation cache.
+
+    Re-invoking with a DIFFERENT directory reconfigures jax (an early
+    library call must not silently pin a later explicit redirect to the
+    default path while returning the requested one)."""
+    global _enabled_path
     import jax
 
     path = directory or os.environ.get("TCTPU_XLA_CACHE", _DEFAULT_DIR)
-    if _enabled:
+    if _enabled_path == path:
         return path
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        _enabled = True
+        _enabled_path = path
     except Exception:
         pass  # older jax or unsupported backend: silently skip
     return path

@@ -78,6 +78,11 @@ def save_state(path: str, psi: MPS, metadata: Dict[str, Any] | None = None,
             os.replace(target, old)
         os.replace(tmp, target)
         shutil.rmtree(old, ignore_errors=True)
+        # drop a superseded npz at the same path: load_state would
+        # otherwise have two formats with no way to know which is newer
+        npz_twin = path if path.endswith(".npz") else path + ".npz"
+        if os.path.exists(npz_twin):
+            os.remove(npz_twin)
         return
     target = path if path.endswith(".npz") else path + ".npz"
     tmp = target + ".tmp"
@@ -85,6 +90,14 @@ def save_state(path: str, psi: MPS, metadata: Dict[str, Any] | None = None,
         np.savez_compressed(f, __meta__=np.frombuffer(meta.encode(), np.uint8),
                             **arrays)
     os.replace(tmp, target)
+    # drop a superseded orbax checkpoint at the same path (e.g. the caller
+    # switched formats, or orbax broke mid-project): a stale .orbax dir
+    # used to SHADOW the newer npz on load -- silently restoring old state
+    # or refusing to resume when orbax was no longer importable
+    import shutil
+    orbax_twin = os.path.abspath(path) + ".orbax"
+    shutil.rmtree(orbax_twin + ".old", ignore_errors=True)
+    shutil.rmtree(orbax_twin, ignore_errors=True)
 
 
 def load_state(path: str, dtype=None):
@@ -97,6 +110,12 @@ def load_state(path: str, dtype=None):
                   else os.path.abspath(path) + ".orbax")
     if not os.path.isdir(orbax_path) and os.path.isdir(orbax_path + ".old"):
         orbax_path = orbax_path + ".old"
+    npz_path = path if path.endswith(".npz") else path + ".npz"
+    if (os.path.isdir(orbax_path) and os.path.exists(npz_path)
+            and os.path.getmtime(npz_path) >= os.path.getmtime(orbax_path)):
+        # both formats present (kill between an npz install and the orbax
+        # twin removal): the newer one wins instead of orbax shadowing
+        orbax_path = ""
     if os.path.isdir(orbax_path):
         ckptr = _orbax_checkpointer()
         if ckptr is None:
@@ -136,26 +155,51 @@ def state_exists(path: str) -> bool:
 
 class SweepCheckpointer:
     """Incremental checkpointing for grid sweeps: per-chunk trace results
-    plus a manifest, so interrupted sweeps resume at the next chunk."""
+    plus a manifest, so interrupted sweeps resume at the next chunk.
 
-    def __init__(self, directory: str):
+    ``fingerprint``: anything that must MATCH between the original run and
+    a resume (grid, params, chunk size).  A manifest written with a
+    different fingerprint makes ``completed_chunks`` raise instead of
+    silently mixing misaligned chunks into the result."""
+
+    def __init__(self, directory: str, fingerprint: str | None = None):
         self.dir = directory
         os.makedirs(directory, exist_ok=True)
         self.manifest_path = os.path.join(directory, "manifest.json")
+        self.fingerprint = fingerprint
+
+    def _manifest(self) -> Dict:
+        if not os.path.exists(self.manifest_path):
+            return {}
+        with open(self.manifest_path) as f:
+            return json.load(f)
 
     def completed_chunks(self) -> set:
-        if not os.path.exists(self.manifest_path):
-            return set()
-        with open(self.manifest_path) as f:
-            return set(json.load(f).get("chunks", []))
+        man = self._manifest()
+        ck_fp = man.get("fingerprint")
+        if (self.fingerprint is not None and ck_fp is not None
+                and ck_fp != self.fingerprint):
+            raise ValueError(
+                f"sweep checkpoint at {self.dir} was written by a run with "
+                "different parameters (grid/params/chunking); refusing to "
+                "resume -- delete it or point elsewhere")
+        return set(man.get("chunks", []))
 
     def save_chunk(self, chunk_id: int, traces: Dict[str, np.ndarray],
                    extra: Dict | None = None) -> None:
-        np.savez_compressed(os.path.join(self.dir, f"chunk_{chunk_id:05d}.npz"),
-                            **{k: np.asarray(v) for k, v in traces.items()})
+        # chunk npz AND manifest installed atomically (temp + os.replace):
+        # a kill mid-write used to leave a truncated manifest.json that
+        # crashed every subsequent resume in completed_chunks()
+        atomic_savez(os.path.join(self.dir, f"chunk_{chunk_id:05d}.npz"),
+                     **{k: np.asarray(v) for k, v in traces.items()})
         done = self.completed_chunks() | {chunk_id}
-        with open(self.manifest_path, "w") as f:
-            json.dump({"chunks": sorted(done), "extra": extra or {}}, f)
+        man = {"chunks": sorted(done), "extra": extra or {}}
+        if self.fingerprint is not None:
+            man["fingerprint"] = self.fingerprint
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self.manifest_path)
 
     def load_chunk(self, chunk_id: int) -> Dict[str, np.ndarray]:
         with np.load(os.path.join(self.dir, f"chunk_{chunk_id:05d}.npz")) as z:
