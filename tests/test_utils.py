@@ -265,6 +265,54 @@ class TestCheckpointIntegration:
         np.testing.assert_allclose(full2["loschmidt_echo"],
                                    ref["loschmidt_echo"], rtol=0, atol=1e-12)
 
+    def test_evolve_batch_auto_legacy_traces_migration(self, tmp_path):
+        """A pre-round-3 checkpoint (single batch_auto_traces.npz holding
+        all chunks as k__i keys) still resumes, and the resume backfills
+        the per-chunk layout so subsequent checkpoints stay O(1)."""
+        import os
+
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.parallel.sweep import (SweepSpec, _basis_indices,
+                                                    evolve_batch_auto)
+
+        tp = TruncParams(chi_max=0, svd_min=1e-12, svd_method="native")
+        rng = np.random.default_rng(5)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (2, 8)))
+        taus = jnp.asarray([0.9, 1.05])
+        basis = jnp.asarray(_basis_indices(8, "neel"))
+
+        def spec(n):
+            return SweepSpec(L=8, chi=16, n_periods=n,
+                             theta=0.92 * float(np.pi), tp=tp,
+                             dtype="float64")
+
+        ref, _ = evolve_batch_auto(hf, taus, basis, spec(10),
+                                   chi_start=8, chunk_periods=2)
+
+        ckdir = tmp_path / "legacy_ck"
+        evolve_batch_auto(hf, taus, basis, spec(6), chi_start=8,
+                          chunk_periods=2, checkpoint_dir=str(ckdir))
+        # convert the per-chunk layout into the legacy single-npz one
+        chunk_dir = ckdir / "batch_auto_chunks"
+        paths = sorted(chunk_dir.glob("chunk_*.npz"))
+        assert len(paths) == 3
+        flat = {}
+        for i, p in enumerate(paths):
+            with np.load(p) as z:
+                for k in z.files:
+                    flat[f"{k}__{i}"] = z[k]
+            os.remove(p)
+        os.rmdir(chunk_dir)
+        np.savez_compressed(ckdir / "batch_auto_traces.npz", **flat)
+
+        full, _ = evolve_batch_auto(hf, taus, basis, spec(10), chi_start=8,
+                                    chunk_periods=2, checkpoint_dir=str(ckdir))
+        np.testing.assert_allclose(full["loschmidt_echo"],
+                                   ref["loschmidt_echo"], rtol=0, atol=1e-12)
+        # backfilled + appended per-chunk files exist for all 5 chunks
+        assert sorted(p.name for p in chunk_dir.glob("chunk_*.npz")) == [
+            f"chunk_{i:05d}.npz" for i in range(5)]
+
     def test_orbax_state_roundtrip(self, tmp_path):
         from timecrystal_tpu.utils.checkpoint import (load_state, save_state,
                                                       state_exists)

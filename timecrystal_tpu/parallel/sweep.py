@@ -274,7 +274,16 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
         from ..utils.checkpoint import (atomic_savez, load_state, save_state,
                                         state_exists)
         ck_state = _os.path.join(checkpoint_dir, "batch_auto_state")
-        ck_traces = _os.path.join(checkpoint_dir, "batch_auto_traces.npz")
+        # per-chunk trace files: each checkpoint writes ONE new chunk npz
+        # instead of rewriting every accumulated chunk (the old single-npz
+        # layout cost O(n_chunks^2) total compression over a run; see
+        # ROADMAP "known limitations", now closed)
+        ck_chunk_dir = _os.path.join(checkpoint_dir, "batch_auto_chunks")
+        ck_traces_legacy = _os.path.join(checkpoint_dir,
+                                         "batch_auto_traces.npz")
+
+        def _chunk_path(i):
+            return _os.path.join(ck_chunk_dir, f"chunk_{i:05d}.npz")
         # Fingerprint of everything that must MATCH between the original
         # run and a resume (only n_periods may legitimately change): a
         # shape-compatible checkpoint of a different Hamiltonian would
@@ -285,7 +294,9 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
                        np.asarray(basis_indices).tolist(),
                        chi_start, growth, chunk_periods)).encode()
         fingerprint = hashlib.sha256(fp_src).hexdigest()
-        if state_exists(ck_state) and _os.path.exists(ck_traces):
+        if state_exists(ck_state) and (
+                _os.path.exists(_chunk_path(0))
+                or _os.path.exists(ck_traces_legacy)):
             psi, meta = load_state(ck_state, dtype=dtype)
             ck_fp = meta.get("fingerprint")
             if ck_fp is not None and ck_fp != fingerprint:
@@ -300,14 +311,30 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
             n_rerun = int(meta.get("n_rerun", 0))
             wall_prev = float(meta.get("wall_time", 0.0))
             psi0 = fresh(chi)
-            with np.load(ck_traces) as z:
-                # derive chunk count from the file itself (written BEFORE
-                # the state): it can be ahead of meta but never behind
-                n_ck = len([k for k in z.files if k.startswith("sz_sites__")])
-                chunks = [{k: z[f"{k}__{i}"] for k in
-                           ("sz_sites", "loschmidt_echo", "entropies",
-                            "max_chi", "trunc_err")}
-                          for i in range(min(n_ck, int(meta["n_chunks"])))]
+            trace_keys = ("sz_sites", "loschmidt_echo", "entropies",
+                          "max_chi", "trunc_err")
+            n_need = int(meta["n_chunks"])
+            if all(_os.path.exists(_chunk_path(i)) for i in range(n_need)):
+                # chunk files are written BEFORE the state, so every index
+                # meta promises is present (a kill between the two leaves
+                # one EXTRA file, recomputed and overwritten on resume)
+                chunks = []
+                for i in range(n_need):
+                    with np.load(_chunk_path(i)) as z:
+                        chunks.append({k: z[k] for k in trace_keys})
+            else:           # legacy single-npz layout (pre round-3 runs)
+                with np.load(ck_traces_legacy) as z:
+                    n_ck = len([k for k in z.files
+                                if k.startswith("sz_sites__")])
+                    chunks = [{k: z[f"{k}__{i}"] for k in trace_keys}
+                              for i in range(min(n_ck, n_need))]
+                # migrate: backfill per-chunk files so this and every
+                # future checkpoint stays O(1) and later resumes see a
+                # complete chunk-file set (atomic per file; an interrupted
+                # backfill re-enters the legacy branch above)
+                for i, c in enumerate(chunks):
+                    if not _os.path.exists(_chunk_path(i)):
+                        atomic_savez(_chunk_path(i), **c)
 
     while p_done < n_periods:
         n = min(chunk_periods, n_periods - p_done)
@@ -340,14 +367,14 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
         chunks.append(tr)
         p_done += n
         if checkpoint_dir is not None:
-            # traces first (atomic), then the state: any kill point leaves a
-            # loadable pair (loader reconciles chunk counts by min)
-            flat = {}
-            for i, c in enumerate(chunks):
-                for k in ("sz_sites", "loschmidt_echo", "entropies",
-                          "max_chi", "trunc_err"):
-                    flat[f"{k}__{i}"] = c[k]
-            atomic_savez(ck_traces, **flat)
+            # the NEW chunk first (atomic), then the state: any kill point
+            # leaves a loadable pair (an orphan chunk file beyond the
+            # state's n_chunks is ignored and overwritten on resume)
+            i_new = len(chunks) - 1
+            atomic_savez(_chunk_path(i_new),
+                         **{k: chunks[i_new][k] for k in
+                            ("sz_sites", "loschmidt_echo", "entropies",
+                             "max_chi", "trunc_err")})
             save_state(ck_state, psi,
                        {"p_done": p_done, "chi": chi,
                         "escalations": escalations,
