@@ -12,6 +12,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from timecrystal_tpu.utils.backend import ensure_responsive_backend
+
+ensure_responsive_backend()      # wedged/absent TPU worker -> CPU fallback
+
 from timecrystal_tpu.analysis.detection import stringent_dtc_detection
 from timecrystal_tpu.core import observables as obs
 from timecrystal_tpu.core.mps import create_initial_state

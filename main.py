@@ -50,33 +50,6 @@ Examples:
     return parser.parse_args()
 
 
-def _backend_available(deadline_s: float | None = None) -> bool:
-    """Probe default-backend init in a CHILD process with a timeout.
-
-    A wedged axon TPU worker hangs ``jax.devices()`` indefinitely (observed
-    >1 h; same failure mode bench.py._wait_for_backend guards).  Probing in
-    a subprocess converts the hang into a False, so ``main()`` can fall
-    back to the CPU backend with a warning instead of hanging a figure run.
-    A healthy axon tunnel initializes in ~5-15 s; 120 s cleanly separates
-    the two.  Deadline override / probe disable (<= 0) via
-    TCT_MAIN_BACKEND_DEADLINE."""
-    import os
-    import subprocess
-    import sys
-    if deadline_s is None:
-        deadline_s = float(os.environ.get("TCT_MAIN_BACKEND_DEADLINE", 120.0))
-    if deadline_s <= 0:
-        return True
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            check=True, timeout=deadline_s,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-        return True
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-        return False
-
-
 def _configure_matplotlib(phase_only: bool) -> None:
     import matplotlib
     matplotlib.use("Agg")
@@ -112,14 +85,15 @@ def _configure_matplotlib(phase_only: bool) -> None:
 
 def main() -> None:
     args = parse_arguments()
-    if not args.cpu and not _backend_available():
-        print("WARNING: accelerator backend failed to initialize within the "
-              "deadline (wedged/absent TPU worker); falling back to the CPU "
-              "backend. Pass --cpu to skip this probe.")
-        args.cpu = True
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    else:
+        from timecrystal_tpu.utils.backend import ensure_responsive_backend
+        if ensure_responsive_backend(warn=False):
+            print("WARNING: accelerator backend failed to initialize within "
+                  "the deadline (wedged/absent TPU worker); falling back to "
+                  "the CPU backend. Pass --cpu to skip this probe.")
 
     print("=" * 60)
     print("TIME CRYSTAL PHYSICS - UNIFIED FIGURE GENERATION (TPU)")

@@ -177,14 +177,10 @@ class TestCLI:
         assert "--figures-only" in out.stdout
 
     def test_backend_probe_mechanics(self):
-        """main._backend_available: disabled probe (deadline <= 0) trusts
-        the backend; an impossibly short deadline reads as a hung worker
-        (TimeoutExpired -> False), which main() turns into a CPU fallback."""
-        import importlib.util
-        spec = importlib.util.spec_from_file_location(
-            "tct_main", os.path.join(os.path.dirname(__file__), "..",
-                                     "main.py"))
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        assert mod._backend_available(deadline_s=0) is True
-        assert mod._backend_available(deadline_s=1e-4) is False
+        """utils.backend.backend_available: disabled probe (deadline <= 0)
+        trusts the backend; an impossibly short deadline reads as a hung
+        worker (TimeoutExpired -> False), which main()/quickstart turn
+        into a CPU fallback."""
+        from timecrystal_tpu.utils.backend import backend_available
+        assert backend_available(deadline_s=0) is True
+        assert backend_available(deadline_s=1e-4) is False

@@ -1,0 +1,56 @@
+"""Accelerator-backend liveness probing.
+
+A wedged axon TPU worker hangs ``jax.devices()`` indefinitely (observed
+>1 h; the same failure mode bench.py._wait_for_backend guards with a retry
+loop).  User-facing entry points (main.py, examples) probe backend init in
+a CHILD process with a timeout instead, converting the hang into a clean
+CPU fallback: a healthy axon tunnel initializes in ~5-15 s, so a 120 s
+deadline separates wedged from healthy with margin.
+
+The reference has no analog (CPU-only, no device to wedge); this is
+TPU-operations infrastructure.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_ENV_DEADLINE = "TCT_BACKEND_PROBE_DEADLINE"
+
+
+def backend_available(deadline_s: float | None = None) -> bool:
+    """True when the default jax backend initializes in a child process
+    within ``deadline_s`` (default 120 s; override or disable (<= 0) via
+    TCT_BACKEND_PROBE_DEADLINE).  The probe is pure init, so killing it
+    mid-handshake does not wedge the worker further."""
+    if deadline_s is None:
+        deadline_s = float(os.environ.get(_ENV_DEADLINE, 120.0))
+    if deadline_s <= 0:
+        return True
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True, timeout=deadline_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
+def ensure_responsive_backend(warn: bool = True) -> bool:
+    """Force the CPU backend when the accelerator fails the liveness probe.
+
+    Returns True when the fallback was taken.  Must run BEFORE any device
+    use (jax platform config is init-time).  No-op (False) on a healthy
+    backend."""
+    if backend_available():
+        return False
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    if warn:
+        print("WARNING: accelerator backend failed to initialize within "
+              "the deadline (wedged/absent TPU worker); falling back to "
+              "the CPU backend.", file=sys.stderr)
+    return True
