@@ -197,16 +197,20 @@ _BACKEND_FAILURE_MARKS = ("FailedPrecondition", "DEADLINE_EXCEEDED",
                           "Accelerator device halted")
 
 
-def _wait_for_backend(deadline_s: float = 1500.0) -> None:
+def _wait_for_backend(deadline_s: float = 10800.0) -> None:
     """Block until the jax backend initializes in a probe CHILD process.
 
-    A wedged axon worker hangs device init indefinitely (observed this
-    round: >1 h), which the exception-based retry below can never see --
-    the process just stalls until the driver kills it.  Probing in a
-    subprocess with a timeout converts the hang into a retryable failure;
-    the probe is pure init (no compile), so killing it mid-handshake does
-    not wedge the worker further.  Gives up after ``deadline_s``
-    (TCT_BENCH_BACKEND_DEADLINE) and lets main() surface the real error."""
+    A wedged axon worker hangs device init indefinitely (observed: >1 h in
+    one outage, >3 h in another), which the exception-based retry below can
+    never see -- the process just stalls until the driver kills it.
+    Probing in a subprocess with a timeout converts the hang into a
+    retryable failure; the probe is pure init (no compile), so killing it
+    mid-handshake does not wedge the worker further.  Gives up after
+    ``deadline_s`` (TCT_BENCH_BACKEND_DEADLINE; default 3 h, sized to the
+    longest measured outage -- an early give-up turns a recoverable wedge
+    into a failed benchmark record, while a caller with a shorter budget
+    kills the wait externally at no extra cost) and lets main() surface
+    the real error."""
     import subprocess
     import sys
 
