@@ -184,3 +184,24 @@ class TestCLI:
         from timecrystal_tpu.utils.backend import backend_available
         assert backend_available(deadline_s=0) is True
         assert backend_available(deadline_s=1e-4) is False
+
+
+class TestGraftEntry:
+    def test_entry_compiles_and_runs(self):
+        """__graft_entry__.entry(): the driver's single-chip compile check.
+        In this process the CPU backend is already initialized (conftest),
+        so entry() must skip the liveness probe and the returned fn must
+        jit-compile and run on the example args."""
+        import sys
+
+        import jax
+
+        jax.devices()   # init the conftest-forced CPU backend so entry()
+        # sees backends_are_initialized() and skips its liveness probe
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        import __graft_entry__ as graft
+
+        fn, args = graft.entry()
+        psi_new, trunc_err = jax.jit(fn)(*args)
+        assert np.all(np.isfinite(np.asarray(psi_new.lam)))
+        assert float(trunc_err) >= 0.0
