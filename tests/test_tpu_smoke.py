@@ -51,7 +51,8 @@ def _tpu_lock():
             fcntl.flock(f, fcntl.LOCK_UN)
 
 
-def _run_child(code: str, timeout: int = 1100, env_extra: dict | None = None):
+def _run_child(code: str, timeout: int = 1100, env_extra: dict | None = None,
+               retries: int = 1):
     # timeout: the heavier children take ~4-6 min warm-cache but can reach
     # ~9 min when another process holds the TPU (the tunnel serializes);
     # 560 s produced flaky suite-level timeouts under contention.
@@ -82,6 +83,8 @@ def _run_child(code: str, timeout: int = 1100, env_extra: dict | None = None):
                              for m in _BACKEND_FAILURE_MARKS))
         except subprocess.TimeoutExpired:
             proc, retry = None, True
+        if retry and retries <= 0:
+            raise RuntimeError("child hit a backend failure (no retries)")
         if retry:
             time.sleep(60)      # let the worker restart
             proc = attempt()
@@ -95,9 +98,12 @@ def _run_child(code: str, timeout: int = 1100, env_extra: dict | None = None):
 
 
 def _tpu_platform() -> str:
+    # retries=0: this runs at COLLECTION time, and retrying a wedged-worker
+    # probe stalls every suite invocation ~5 min for the same answer
     out = _run_child(
         "import json, jax; "
-        "print(json.dumps({'p': jax.devices()[0].platform}))", timeout=120)
+        "print(json.dumps({'p': jax.devices()[0].platform}))", timeout=120,
+        retries=0)
     return out["p"].lower()
 
 
