@@ -11,7 +11,6 @@ tuned config only if its trace deltas stay in the default's class.
 import os
 import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-import functools
 import time
 
 import numpy as np
@@ -48,9 +47,13 @@ def run(tag, tpx, tuned=False):
     # monkeypatched jacobi_proj is actually retraced into the program
     jax.clear_caches()
     if tuned:
-        jsvd_mod.jacobi_proj = functools.partial(
-            _orig_proj, tol=1e-6, tol_b=1e-6,
-            polish_b_iters=4, polish_iters=4)
+        # NOT functools.partial: the csvd call site passes
+        # polish_b_iters=6/polish_iters=6 explicitly, which would override
+        # partial keywords -- force the tuned values over incoming kwargs
+        def _tuned_proj(theta, k, **kw):
+            kw.update(tol=1e-6, tol_b=1e-6, polish_b_iters=4, polish_iters=4)
+            return _orig_proj(theta, k, **kw)
+        jsvd_mod.jacobi_proj = _tuned_proj
     else:
         jsvd_mod.jacobi_proj = _orig_proj
     try:

@@ -46,6 +46,14 @@ from . import cpx
 from .cpx import C
 
 
+def _interpret_mode() -> bool:
+    """Pallas kernels compile only on TPU; on the CPU backend an EXPLICIT
+    jacobi-family svd_method runs the same kernel in interpret mode
+    (bit-equivalent semantics, orders of magnitude slower -- fine for
+    tests/debugging; the auto-routing never picks these paths on CPU)."""
+    return jax.default_backend() == "cpu"
+
+
 def _pack_complex(a: C):
     cdtype = jnp.complex128 if a.dtype == jnp.float64 else jnp.complex64
     return a.re.astype(cdtype) + 1j * a.im.astype(cdtype)
@@ -365,7 +373,8 @@ def csvd_topk(theta: C, k: int, method: str = "auto",
             S, V, disc = jacobi_proj(theta, k,
                                      max_sweeps=jacobi_sweeps or None,
                                      polish=k,
-                                     polish_b_iters=6, polish_iters=6)
+                                     polish_b_iters=6, polish_iters=6,
+                                     interpret=_interpret_mode())
             Vh = C(jnp.swapaxes(V.re, -1, -2), -jnp.swapaxes(V.im, -1, -2))
             return S, Vh, disc
         method = "jacobi"
@@ -381,10 +390,11 @@ def csvd_topk(theta: C, k: int, method: str = "auto",
 
         if method == "jacobi" and m == n and n % 2 == 0:
             S, V = jacobi_sv(theta, max_sweeps=jacobi_sweeps or None,
-                             polish=k)
+                             polish=k, interpret=_interpret_mode())
             Vh = C(jnp.swapaxes(V.re, -1, -2), -jnp.swapaxes(V.im, -1, -2))
         else:
-            U, S, Vh = jacobi_svd(theta, n_sweeps=jacobi_sweeps or None)
+            U, S, Vh = jacobi_svd(theta, n_sweeps=jacobi_sweeps or None,
+                                  interpret=_interpret_mode())
         disc = jnp.sum(S[..., k:] ** 2, axis=-1)
         return (S[..., :k], C(Vh.re[..., :k, :], Vh.im[..., :k, :]), disc)
 
@@ -421,7 +431,7 @@ def csvd(theta: C, method: str = "auto"):
     if method == "jacobi":
         from .pallas.jacobi_svd import jacobi_svd
 
-        return jacobi_svd(theta)
+        return jacobi_svd(theta, interpret=_interpret_mode())
     if method == "native":
         fn = _svd_native
     elif method == "gram_eigh":
