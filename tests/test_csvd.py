@@ -416,19 +416,30 @@ class TestJacobiProj:
 
     def test_csvd_topk_jacobi_proj_method(self):
         """csvd_topk(method='jacobi_proj') matches native top-k on a steep
-        spectrum and falls back cleanly on odd k."""
+        spectrum -- THROUGH csvd_topk on the CPU backend (the dispatcher
+        routes explicit jacobi-family methods to interpret mode there,
+        csvd._interpret_mode)."""
         from timecrystal_tpu.ops.csvd import csvd_topk
         n, k = 32, 16
         q1, _ = np.linalg.qr(RNG.normal(size=(n, n)) + 1j * RNG.normal(size=(n, n)))
         q2, _ = np.linalg.qr(RNG.normal(size=(n, n)) + 1j * RNG.normal(size=(n, n)))
         M = ((q1 * np.logspace(0, -8, n)) @ q2.conj().T)[None]
         S_ref, Vh_ref, disc_ref = csvd_topk(_to_c(M), k, method="native")
-        # interpret-mode path: call the kernel directly (csvd_topk compiles
-        # the pallas kernel; CPU needs interpret) -- route equivalence is
-        # covered by the signature contract + the TPU smoke tier.
-        from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_proj
-        S, V, disc = jacobi_proj(_to_c(M), k, polish=k, interpret=True,
-                                 polish_b_iters=6, polish_iters=6)
+        S, Vh, disc = csvd_topk(_to_c(M), k, method="jacobi_proj")
         np.testing.assert_allclose(np.asarray(S), np.asarray(S_ref),
                                    atol=1e-4)
         assert abs(float(disc[0]) - float(disc_ref[0])) < 1e-5
+
+    def test_explicit_jacobi_methods_work_on_cpu(self):
+        """Explicit svd_method='jacobi' through csvd_topk on the CPU
+        backend runs the kernel in interpret mode instead of crashing
+        with a raw Pallas lowering error (regression: the auto routing
+        never picks jacobi on CPU, so only explicit requests hit this)."""
+        from timecrystal_tpu.ops.csvd import csvd_topk
+        n, k = 16, 8
+        M = ((RNG.normal(size=(1, n, n))
+              + 1j * RNG.normal(size=(1, n, n))) / np.sqrt(n))
+        S_ref, _, _ = csvd_topk(_to_c(M), k, method="native")
+        S, Vh, disc = csvd_topk(_to_c(M), k, method="jacobi")
+        np.testing.assert_allclose(np.asarray(S), np.asarray(S_ref),
+                                   atol=1e-5)
