@@ -128,6 +128,44 @@ class TestBatchedEvolution:
                                    np.asarray(ref["loschmidt_echo"]),
                                    atol=1e-9)
 
+    def test_batch_auto_cap_svd_method(self):
+        """cap_svd_method='jacobi_proj' on the batched staged driver:
+        cap-chi chunks route through the projected fast path (counted via
+        the module hook), and with the cap at the system's full rank
+        (L=6 -> mid-bond rank 8 == spec.chi) the traces match the default
+        staged run at f64 exactness."""
+        from timecrystal_tpu.ops.pallas import jacobi_svd as jsvd_mod
+        from timecrystal_tpu.parallel.sweep import evolve_batch_auto
+
+        spec = _spec(L=6, chi=8, n=8, theta=0.85 * float(np.pi))
+        rng = np.random.default_rng(5)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (2, spec.L)))
+        taus = jnp.asarray([1.1, 1.2])
+        basis = jnp.asarray(_basis_indices(spec.L, "neel"))
+        ref, info_ref = evolve_batch_auto(hf, taus, basis, spec,
+                                          chi_start=4, chunk_periods=2)
+        assert info_ref["chi_pad_used"] == 8     # ladder reaches the cap
+
+        calls: list = []
+        orig = jsvd_mod.jacobi_proj
+
+        def counting(theta, k, **kw):
+            calls.append(int(k))
+            return orig(theta, k, **kw)
+
+        jsvd_mod.jacobi_proj = counting
+        jax.clear_caches()   # force retrace so the hook is captured
+        try:
+            tr, info = evolve_batch_auto(hf, taus, basis, spec,
+                                         chi_start=4, chunk_periods=2,
+                                         cap_svd_method="jacobi_proj")
+        finally:
+            jsvd_mod.jacobi_proj = orig
+        assert info["chi_pad_used"] == 8
+        assert calls and all(k == 8 for k in calls)
+        for key in ("sz_sites", "loschmidt_echo", "staggered_magnetization"):
+            np.testing.assert_allclose(tr[key], ref[key], atol=1e-8)
+
     def test_disorder_ensemble_shapes(self):
         spec = _spec(n=3)
         tr = disorder_ensemble(jax.random.PRNGKey(5), 6, spec,

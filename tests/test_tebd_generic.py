@@ -156,6 +156,46 @@ class TestChiEscalation:
         np.testing.assert_array_equal(traces["loschmidt_echo"],
                                       traces2["loschmidt_echo"])
 
+    def test_cap_svd_method_routes_at_cap(self):
+        """cap_svd_method='jacobi_proj': chunks AT the ladder cap route
+        through the projected fast path (counted via the module hook the
+        csvd dispatcher resolves at call time), chunks below the cap do
+        not, and with the cap at the system's full rank (L=6 -> mid-bond
+        rank 8 == chi_limit, no real truncation) the traces match the
+        default driver at f64 exactness."""
+        import jax
+
+        from timecrystal_tpu.ops.pallas import jacobi_svd as jsvd_mod
+
+        kwargs = dict(n_sites=6, J=1.0, h_disorder=0.3, tau=1.2,
+                      disorder_seed=7, theta=0.85 * np.pi, dtype=DTYPE)
+        tpd = {"chi_max": 0, "svd_min": 1e-12}
+        ref, _, info_ref, _ = evolve_floquet_auto(
+            kwargs, "neel", 8, tpd, chi_start=4, chi_limit=8,
+            chunk_periods=2)
+        assert info_ref["chi_pad_used"] == 8    # the ladder reaches the cap
+
+        calls: list = []
+        orig = jsvd_mod.jacobi_proj
+
+        def counting(theta, k, **kw):
+            calls.append(int(k))
+            return orig(theta, k, **kw)
+
+        jsvd_mod.jacobi_proj = counting
+        jax.clear_caches()   # force retrace so the hook is captured
+        try:
+            tr, _, info, _ = evolve_floquet_auto(
+                kwargs, "neel", 8, tpd, chi_start=4, chi_limit=8,
+                chunk_periods=2, cap_svd_method="jacobi_proj")
+        finally:
+            jsvd_mod.jacobi_proj = orig
+        assert info["chi_pad_used"] == 8
+        assert calls, "cap chunks never reached jacobi_proj"
+        assert all(k == 8 for k in calls)       # only cap-chi (8) panels
+        for key in ("sz_sites", "loschmidt_echo", "staggered_magnetization"):
+            np.testing.assert_allclose(tr[key], ref[key], atol=1e-8)
+
 
 class TestStageDecision:
     """Unit tests for the chi-staging escalation criteria (the measured

@@ -317,7 +317,8 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
                         chi_start: int = 16, chi_limit: int = 256,
                         measure_every: int = 1, chunk_periods: int = 16,
                         checkpoint_dir: str | None = None,
-                        frame: str = "strict", growth: float = 2.0):
+                        frame: str = "strict", growth: float = 2.0,
+                        cap_svd_method: str | None = None):
     """Chi-escalation driver: evolve at a small padded chi and escalate to
     2x whenever the effective bond dimension saturates the padding.
 
@@ -342,6 +343,17 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
     ``checkpoint_dir``: when set, the running state is persisted after each
     completed chunk (utils/checkpoint.save_state) and an interrupted run
     resumes from the last checkpoint.
+
+    ``cap_svd_method``: optional svd_method override for chunks that run
+    AT the ladder cap (chi == chi_limit), where truncation error no longer
+    drives escalation decisions.  'jacobi_proj' (the chained projected
+    top-chi SVD, ops/pallas/jacobi_svd.jacobi_proj) is the measured ~2x
+    saturated-steady-state throughput win (PERFORMANCE.md round-3); its
+    accuracy class is truncation-level (closed-loop staggered/LE deltas
+    5.5e-4/3.2e-4 over 50 periods at L=40 chi=256) and its reported
+    trunc_err carries the f32 Frobenius noise floor (~3e-4/period), so
+    cap-stage trunc_err traces are measurement-noisy -- leave None for
+    parity-grade runs.
 
     ``model_kwargs`` are KickedIsingModel arguments (without chi).
     Returns (traces, times, info, model); info gains 'chi_pad_used',
@@ -411,7 +423,10 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
             if k not in ("h_fields", "disorder_seed"))
         fp_src = repr((fp_kwargs, fp_fields, state_type, tp, chi_start,
                        chi_limit, measure_every, chunk_periods, frame,
-                       growth)).encode()
+                       growth)
+                      # appended only when set: keeps default-run
+                      # fingerprints (and old checkpoints) stable
+                      + ((cap_svd_method,) if cap_svd_method else ())).encode()
         fingerprint = hashlib.sha256(fp_src).hexdigest()
         if state_exists(ck_state) and os.path.exists(ck_traces):
             psi, meta = load_state(ck_state)
@@ -445,8 +460,12 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
 
     while p_done < n_periods:
         n = min(chunk_periods, n_periods - p_done)
+        # at the ladder cap escalation is over (chi < cap gates both
+        # triggers), so the noisy-trunc_err fast path is safe to route
+        tp_stage = (tp._replace(svd_method=cap_svd_method)
+                    if cap_svd_method and chi >= cap else tp)
         # LE referenced to the t=0 state, not the chunk start
-        psi_next, tr = evolve_floquet_scan(psi, model.gates, n, tp,
+        psi_next, tr = evolve_floquet_scan(psi, model.gates, n, tp_stage,
                                            ref_state=psi0, frame=frame)
         # ONE host round-trip for the whole chunk (each np.asarray pays a
         # ~25 ms tunnel latency; the traces dict has 5 arrays)

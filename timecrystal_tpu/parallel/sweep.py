@@ -187,7 +187,8 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
                       chi_start: int = 32, chunk_periods: int = 5,
                       checkpoint_dir: str | None = None,
                       mesh: Mesh | None = None, axis_name: str = "batch",
-                      growth: float = 2.0):
+                      growth: float = 2.0,
+                      cap_svd_method: str | None = None):
     """Chi-staged batched Floquet evolution: the ensemble production path.
 
     The batched analog of dynamics/tebd.evolve_floquet_auto (which the
@@ -206,6 +207,12 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     completed chunk (utils/checkpoint.save_state handles the leading
     realization axis transparently) and an interrupted run resumes from
     the last checkpoint instead of t=0.
+
+    ``cap_svd_method``: optional svd_method override for chunks running AT
+    the ladder cap (chi == spec.chi), where truncation error no longer
+    drives escalation -- see dynamics/tebd.evolve_floquet_auto for the
+    accuracy/trunc_err-noise tradeoff ('jacobi_proj' is the measured ~2x
+    saturated-steady-state win, PERFORMANCE.md round-3).
 
     ``mesh``: when set, the realization axis shards over the device mesh
     (same SPMD structure as evolve_batch_sharded: each device evolves its
@@ -292,7 +299,10 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
                        np.round(np.asarray(jax.device_get(h_fields)), 12).tolist(),
                        np.round(np.asarray(jax.device_get(taus)), 12).tolist(),
                        np.asarray(basis_indices).tolist(),
-                       chi_start, growth, chunk_periods)).encode()
+                       chi_start, growth, chunk_periods)
+                      # appended only when set: keeps default-run
+                      # fingerprints (and old checkpoints) stable
+                      + ((cap_svd_method,) if cap_svd_method else ())).encode()
         fingerprint = hashlib.sha256(fp_src).hexdigest()
         if state_exists(ck_state) and (
                 _os.path.exists(_chunk_path(0))
@@ -338,7 +348,12 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
 
     while p_done < n_periods:
         n = min(chunk_periods, n_periods - p_done)
-        tp = _stage_tp(spec.tp, chi)
+        # at the ladder cap escalation is over (chi < cap gates both
+        # triggers), so the noisy-trunc_err fast path is safe to route
+        if cap_svd_method and chi >= cap:
+            tp = spec.tp._replace(svd_method=cap_svd_method)
+        else:
+            tp = _stage_tp(spec.tp, chi)
         psi_next, tr = _chunk_batch(psi, gates, psi0, n, tp, spec.frame)
         tr, exit_lam = jax.device_get((tr, psi_next.lam))
         # trunc-err / significant-rank escalation criteria (the batch
