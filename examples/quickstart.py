@@ -70,8 +70,16 @@ def ensemble() -> None:
     h = draw_disorder_batch(jax.random.PRNGKey(0), R, L, 0.3)
     taus = jnp.full((R,), 1.0)
     basis = jnp.asarray(_basis_indices(L, "neel"))
+    # cap_svd_method: once the chi ladder is pinned at the cap (escalation
+    # over), chunks route to the ~2x-faster chained projected SVD -- the
+    # saturated-steady-state production knob (PERFORMANCE.md round-3;
+    # trunc_err traces of cap chunks carry its measurement noise floor).
+    # TPU-only here: on the CPU fallback the Pallas kernel runs in slow
+    # interpret mode, so plain LAPACK is the right cap path there.
+    cap_method = "jacobi_proj" if jax.default_backend() != "cpu" else None
     traces, info = evolve_batch_auto(h, taus, basis, spec, chi_start=16,
-                                     chunk_periods=10)
+                                     chunk_periods=10,
+                                     cap_svd_method=cap_method)
     a2t = np.asarray(ensemble_a2t(traces, taus))
     print(f"\nensemble of {R} disorder realizations "
           f"({info['chain_periods_per_second']:.0f} chain-periods/s, "
