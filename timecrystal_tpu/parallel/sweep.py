@@ -465,7 +465,8 @@ def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
 def disorder_ensemble(key, n_realizations: int, spec: SweepSpec,
                       h_disorder: float, tau: float, state_type: str = "neel",
                       mesh: Mesh | None = None, staged: bool = False,
-                      chi_start: int = 32, chunk_periods: int = 5):
+                      chi_start: int = 32, chunk_periods: int = 5,
+                      cap_svd_method: str | None = None):
     """Batched disorder ensemble (BASELINE config disordered_time_crystal:
     'random fields h_i, N disorder realizations vmapped').
 
@@ -473,7 +474,8 @@ def disorder_ensemble(key, n_realizations: int, spec: SweepSpec,
     (evolve_batch_auto) -- the fast path for entangling transients (pads
     small, escalates only on real truncation; 162x the CPU window on the
     headline workload) -- and then returns ONLY the traces dict, same
-    contract as the fixed-chi path."""
+    contract as the fixed-chi path.  ``cap_svd_method`` (staged only)
+    forwards to evolve_batch_auto: the at-cap fast-SVD override."""
     from ..models.kicked_ising import draw_disorder_batch
 
     h = draw_disorder_batch(key, n_realizations, spec.L, h_disorder)
@@ -482,7 +484,8 @@ def disorder_ensemble(key, n_realizations: int, spec: SweepSpec,
     if staged:
         traces, _ = evolve_batch_auto(h, taus, jnp.asarray(basis), spec,
                                       chi_start=chi_start,
-                                      chunk_periods=chunk_periods, mesh=mesh)
+                                      chunk_periods=chunk_periods, mesh=mesh,
+                                      cap_svd_method=cap_svd_method)
         return traces
     if mesh is not None:
         return evolve_batch_sharded(h, taus, basis, spec, mesh)
