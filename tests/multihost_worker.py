@@ -1,0 +1,69 @@
+"""Worker program for tests/test_multihost.py's 2-process CPU cluster.
+
+Each rank runs this file (``python multihost_worker.py RANK PORT OUT_NPZ``)
+with 4 virtual CPU devices; the pair forms a jax.distributed cluster with
+8 global devices and evolves the SAME ensemble problem the parent test
+computes single-process.  Also imported BY the test for ``make_problem()``
+so the problem definition exists exactly once.
+
+Not collected by pytest (no test_ prefix, no test functions).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def make_problem():
+    """(h_fields, taus, basis, spec): small f64 ensemble, R=6 NOT a
+    multiple of the 8-device global mesh (exercises padding)."""
+    sys.path.insert(0, _REPO)
+    from timecrystal_tpu.core.truncate import TruncParams
+    from timecrystal_tpu.parallel.sweep import SweepSpec, _basis_indices
+
+    spec = SweepSpec(L=8, chi=16, n_periods=4,
+                     theta=0.95 * float(np.pi),
+                     tp=TruncParams(chi_max=0, svd_min=1e-12),
+                     dtype="float64")
+    h_fields = np.random.RandomState(5).uniform(-0.3, 0.3, (6, spec.L))
+    taus = 1.0 + 0.1 * np.arange(6, dtype=np.float64)
+    basis = _basis_indices(spec.L, "neel")
+    return h_fields, taus, basis, spec
+
+
+def main() -> None:
+    rank, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+    # fresh 4-device virtual CPU topology regardless of the parent's flags
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import faulthandler
+
+    faulthandler.dump_traceback_later(240, exit=True)  # hang -> loud death
+    import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; the config
+    # update is honored (same reason as tests/conftest.py)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    sys.path.insert(0, _REPO)
+    from timecrystal_tpu.parallel import multihost as mh
+    from timecrystal_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    mh.initialize(f"localhost:{port}", num_processes=2, process_id=rank)
+    mh.initialize()   # second call: the already-initialized no-op branch
+    assert len(jax.devices()) == 8, jax.devices()
+    assert len(jax.local_devices()) == 4
+
+    h_fields, taus, basis, spec = make_problem()
+    traces = mh.evolve_batch_multihost(h_fields, taus, basis, spec)
+    np.savez(out_path, **{k: np.asarray(v) for k, v in traces.items()})
+    print(f"rank {rank} done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
