@@ -61,7 +61,18 @@ def main() -> None:
 
     h_fields, taus, basis, spec = make_problem()
     traces = mh.evolve_batch_multihost(h_fields, taus, basis, spec)
-    np.savez(out_path, **{k: np.asarray(v) for k, v in traces.items()})
+
+    # the chi-staged production driver on the same global mesh: per-chunk
+    # escalation decisions allgathered, shared schedule across ranks
+    from timecrystal_tpu.parallel.sweep import evolve_batch_auto
+
+    staged, info = evolve_batch_auto(h_fields, taus, basis, spec,
+                                     chi_start=4, chunk_periods=2,
+                                     mesh=mh.global_mesh())
+    out = {k: np.asarray(v) for k, v in traces.items()}
+    out.update({f"staged_{k}": np.asarray(v) for k, v in staged.items()})
+    out["staged_n_escalations"] = np.asarray(len(info["chi_escalations"]))
+    np.savez(out_path, **out)
     print(f"rank {rank} done", flush=True)
 
 

@@ -120,10 +120,48 @@ class TestTwoProcessCluster:
         rank_traces = []
         for o in outs:
             with np.load(o) as z:
-                rank_traces.append({k: z[k] for k in _TRACE_KEYS})
+                rank_traces.append({k: z[k] for k in z.files})
         for k in _TRACE_KEYS:
             # every rank allgathers the identical full batch
             np.testing.assert_array_equal(rank_traces[0][k],
                                           rank_traces[1][k], err_msg=k)
             np.testing.assert_allclose(rank_traces[0][k], ref[k],
                                        atol=1e-12, err_msg=k)
+
+        # the chi-staged driver across the cluster: identical schedule on
+        # every rank, traces equal to the single-process staged run
+        from timecrystal_tpu.parallel.sweep import evolve_batch_auto
+
+        h_fields, taus, basis, spec = make_problem()
+        ref_staged, ref_info = evolve_batch_auto(h_fields, taus, basis, spec,
+                                                 chi_start=4, chunk_periods=2)
+        assert (int(rank_traces[0]["staged_n_escalations"])
+                == int(rank_traces[1]["staged_n_escalations"])
+                == len(ref_info["chi_escalations"]))
+        for k in _TRACE_KEYS:
+            np.testing.assert_array_equal(rank_traces[0][f"staged_{k}"],
+                                          rank_traces[1][f"staged_{k}"],
+                                          err_msg=k)
+            np.testing.assert_allclose(rank_traces[0][f"staged_{k}"],
+                                       np.asarray(ref_staged[k]),
+                                       atol=1e-12, err_msg=k)
+
+    def test_checkpoint_rejected_multiprocess(self):
+        """The staged driver must REFUSE checkpoint_dir on a multi-process
+        mesh (single-process here, so exercise the guard directly)."""
+        from timecrystal_tpu.parallel.sweep import evolve_batch_auto
+
+        h_fields, taus, basis, spec = make_problem()
+        # monkeypatch-free: the guard reads jax.process_count()
+        import jax
+
+        orig = jax.process_count
+        jax.process_count = lambda *a, **kw: 2
+        try:
+            with pytest.raises(ValueError, match="multi-process"):
+                evolve_batch_auto(h_fields, taus, basis, spec,
+                                  chi_start=4, chunk_periods=2,
+                                  mesh=mh.global_mesh(),
+                                  checkpoint_dir="/tmp/never-used")
+        finally:
+            jax.process_count = orig

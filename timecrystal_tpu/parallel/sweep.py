@@ -145,11 +145,26 @@ def _chunk_batch(psi_b, gates_b, psi0_b, n: int, tp: TruncParams, frame: str):
     return jax.vmap(one)(psi_b, gates_b, psi0_b)
 
 
+def _mesh_place(mesh: Mesh, axis_name: str):
+    """Batch-axis placement function for a (possibly multi-process) mesh.
+
+    Single-process: plain device_put.  Multi-process (a DCN-spanning mesh
+    from parallel/multihost.py): device_put cannot target non-addressable
+    devices, so reshard through a jit identity with ``out_shardings`` --
+    the compiler materializes each process's addressable shards.  Inputs
+    must be identical on every process (the SPMD contract; they are: host
+    parameter arrays or global arrays produced by the same program)."""
+    sh = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return jax.jit(lambda x: x, out_shardings=sh)
+    return partial(jax.device_put, device=sh)
+
+
 def _pad_to_mesh(h_fields, taus, mesh: Mesh, axis_name: str):
     """Pad the realization batch to a mesh-size multiple (copies of
     realization 0; callers slice them off the output) and place both
     arrays with the batch-axis NamedSharding.  Returns
-    (h_fields, taus, place) with place = the device_put partial for any
+    (h_fields, taus, place) with place = the placement function for any
     further batch-shaped arrays."""
     n_dev = mesh.devices.size
     R = int(h_fields.shape[0])
@@ -158,8 +173,7 @@ def _pad_to_mesh(h_fields, taus, mesh: Mesh, axis_name: str):
         h_fields = jnp.concatenate(
             [h_fields, jnp.tile(h_fields[:1], (pad_r, 1))])
         taus = jnp.concatenate([taus, jnp.tile(taus[:1], (pad_r,))])
-    place = partial(jax.device_put,
-                    device=NamedSharding(mesh, P(axis_name)))
+    place = _mesh_place(mesh, axis_name)
     return place(h_fields), place(taus), place
 
 
@@ -221,7 +235,12 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     the host).  The batch is padded to a mesh multiple with copies of the
     first realization; padded rows are dropped from the returned traces
     (they still participate in the shared chi schedule, as duplicates of
-    realization 0 they add no new escalation pressure).
+    realization 0 they add no new escalation pressure).  A multi-process
+    (DCN-spanning, parallel/multihost.py) mesh works too: every process
+    runs this same call, per-chunk decision data is allgathered so the
+    shared chi schedule stays identical across hosts, and every process
+    returns the full traces; checkpointing is rejected there (the sharded
+    state is not host-addressable).
 
     Returns (traces, info): traces as evolve_batch (leading axis R,
     time axis n_periods+1 with the t=0 row prepended), info with
@@ -239,6 +258,23 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     h_fields = jnp.asarray(h_fields)
     taus = jnp.asarray(taus, dtype)
     R_out = int(h_fields.shape[0])
+    multiproc = mesh is not None and jax.process_count() > 1
+    if multiproc:
+        if checkpoint_dir is not None:
+            raise ValueError(
+                "checkpoint_dir is not supported on a multi-process mesh: "
+                "the batched state is sharded across hosts (gathering it "
+                "per chunk would swamp DCN).  Checkpoint per-slice runs, "
+                "or run multi-host without checkpointing.")
+        from jax.experimental import multihost_utils
+
+        # escalation decisions need the FULL trace/lambda data on every
+        # process (and identical decisions everywhere): allgather instead
+        # of device_get, one small collective per chunk
+        def fetch(tree):
+            return multihost_utils.process_allgather(tree, tiled=True)
+    else:
+        fetch = jax.device_get
     if mesh is not None:
         h_fields, taus, place = _pad_to_mesh(h_fields, taus, mesh, axis_name)
     else:
@@ -355,7 +391,7 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
         else:
             tp = _stage_tp(spec.tp, chi)
         psi_next, tr = _chunk_batch(psi, gates, psi0, n, tp, spec.frame)
-        tr, exit_lam = jax.device_get((tr, psi_next.lam))
+        tr, exit_lam = fetch((tr, psi_next.lam))
         # trunc-err / significant-rank escalation criteria (the batch
         # shares one schedule: ANY realization's truncation escalates all)
         # merged-frame chunk-boundary (entry/exit half-step) error included:
@@ -452,8 +488,18 @@ def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
     discarded from the returned traces).  XLA partitions the vmapped program
     SPMD over the mesh: each device evolves its shard of realizations
     independently; results gather over ICI at the output.
+
+    On a multi-process (DCN-spanning) mesh this routes to
+    ``multihost.evolve_batch_multihost``, which returns host numpy traces
+    (device arrays here could not be sliced host-side: the batch is not
+    fully addressable from one process).
     """
     mesh = mesh or default_mesh(axis_name)
+    if jax.process_count() > 1:
+        from .multihost import evolve_batch_multihost
+
+        return evolve_batch_multihost(h_fields, taus, basis_indices, spec,
+                                      mesh=mesh, axis_name=axis_name)
     R = int(h_fields.shape[0])
     h_fields, taus, _ = _pad_to_mesh(h_fields, taus, mesh, axis_name)
     basis_indices = jax.device_put(jnp.asarray(basis_indices),
