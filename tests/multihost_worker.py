@@ -36,6 +36,26 @@ def make_problem():
     return h_fields, taus, basis, spec
 
 
+def make_site_problem():
+    """(psi0, gates, tp, n_periods) for the site-sharded leg: L=16 splits
+    into even-length blocks over the 8 global devices (local length 2),
+    same recipe as tests/test_parallel.py::TestSiteSharding."""
+    sys.path.insert(0, _REPO)
+    import jax.numpy as jnp
+
+    from timecrystal_tpu.core.mps import create_initial_state
+    from timecrystal_tpu.core.truncate import TruncParams
+    from timecrystal_tpu.models.kicked_ising import (draw_disorder_reference,
+                                                     make_floquet_gates)
+
+    hf = draw_disorder_reference(16, 0.3, 42)
+    gates = make_floquet_gates(1.0, jnp.asarray(hf, jnp.float64), 0.9,
+                               theta=0.92 * np.pi, dtype=jnp.float64)
+    psi0 = create_initial_state(16, "neel", chi=16, dtype=jnp.float64)
+    tp = TruncParams(chi_max=0, svd_min=1e-14, svd_method="native")
+    return psi0, gates, tp, 4
+
+
 def main() -> None:
     rank, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
     # fresh 4-device virtual CPU topology regardless of the parent's flags
@@ -72,6 +92,18 @@ def main() -> None:
     out = {k: np.asarray(v) for k, v in traces.items()}
     out.update({f"staged_{k}": np.asarray(v) for k, v in staged.items()})
     out["staged_n_escalations"] = np.asarray(len(info["chi_escalations"]))
+
+    # site-axis sharding across the cluster: the one path with collectives
+    # INSIDE the step (ppermute boundary-bond exchange + LE ring relay now
+    # riding the cross-process channel)
+    from timecrystal_tpu.parallel.site_shard import (evolve_floquet_sharded,
+                                                     site_mesh)
+
+    spsi0, sgates, stp, n_site = make_site_problem()
+    _, site_tr = evolve_floquet_sharded(spsi0, sgates, n_site, stp,
+                                        site_mesh())
+    out.update({f"site_{k}": np.asarray(v)
+                for k, v in mh.gather(site_tr).items()})
     np.savez(out_path, **out)
     print(f"rank {rank} done", flush=True)
 

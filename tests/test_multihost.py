@@ -146,6 +146,22 @@ class TestTwoProcessCluster:
                                        np.asarray(ref_staged[k]),
                                        atol=1e-12, err_msg=k)
 
+        # site-axis sharding: ppermutes crossed the process boundary; the
+        # traces must still match the single-device scan exactly
+        from multihost_worker import make_site_problem
+
+        from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
+
+        spsi0, sgates, stp, n_site = make_site_problem()
+        _, site_ref = evolve_floquet_scan(spsi0, sgates, n_site, stp)
+        for k in ("sz_sites", "loschmidt_echo", "trunc_err"):
+            np.testing.assert_array_equal(rank_traces[0][f"site_{k}"],
+                                          rank_traces[1][f"site_{k}"],
+                                          err_msg=k)
+            np.testing.assert_allclose(rank_traces[0][f"site_{k}"],
+                                       np.asarray(site_ref[k]),
+                                       atol=1e-13, err_msg=k)
+
     def test_checkpoint_rejected_multiprocess(self):
         """The staged driver must REFUSE checkpoint_dir on a multi-process
         mesh (single-process here, so exercise the guard directly)."""
