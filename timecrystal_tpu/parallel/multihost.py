@@ -52,12 +52,21 @@ def initialize(coordinator_address: str | None = None,
     distributed service is already initialized (safe to call from shared
     entry points).  Single-process runs never need this.
     """
-    if jax._src.distributed.global_state.client is not None:  # already up
+    try:       # private-API probe; jax.distributed exposes no public "is
+        # initialized" predicate as of jax 0.9
+        already = jax._src.distributed.global_state.client is not None
+    except AttributeError:
+        already = False
+    if already:
         return
-    jax.distributed.initialize(coordinator_address=coordinator_address,
-                               num_processes=num_processes,
-                               process_id=process_id,
-                               local_device_ids=local_device_ids)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id,
+                                   local_device_ids=local_device_ids)
+    except RuntimeError as e:   # raced/duplicate init: keep the first one
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def global_mesh(axis_name: str = "batch") -> Mesh:
