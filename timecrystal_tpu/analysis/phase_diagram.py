@@ -45,9 +45,13 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
     resumes at the first incomplete chunk.
 
     ``mesh='auto'`` (the generate_phase_diagram default) shards the grid
-    batch over all local devices whenever more than one is attached
+    batch over all devices whenever more than one is attached
     (parallel/sweep.evolve_batch_sharded); pass None to force single-device
-    or an explicit jax.sharding.Mesh to control placement.
+    or an explicit jax.sharding.Mesh to control placement.  In a
+    multi-process run (parallel/multihost.py) 'auto' spans every host's
+    devices -- jax.devices() is global -- and evolve_batch_sharded routes
+    through the allgathering multihost path, so the grid scales over DCN
+    with no changes here.
     """
     hc = GRID_HARDCODED
     tp = TruncParams(chi_max=hc["max_chi"],
