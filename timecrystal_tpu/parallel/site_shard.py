@@ -24,7 +24,10 @@ loop, the boundary exchanges, and the in-scan observables compile into a
 single SPMD executable with no host round-trips.
 
 Validated bit-exactly against the single-device evolution on the virtual
-8-device CPU mesh (tests/test_parallel.py).
+8-device CPU mesh (tests/test_parallel.py) AND across a real 2-process
+jax.distributed cluster, where the boundary-bond ppermutes and the LE
+ring relay cross the process boundary (tests/test_multihost.py) -- the
+same program scales a long chain over multiple hosts' devices.
 """
 
 from __future__ import annotations
