@@ -247,3 +247,27 @@ class TestEnsembleDistributions:
         assert np.all(pt["trunc_err"] >= 0)
         # trajectories genuinely differ (random kicks)
         assert np.std(np.asarray(traces["sz_sites_std"])) >= 0
+
+    def test_ensemble_mesh_matches_unsharded(self):
+        """Trajectory axis sharded over the 8-device mesh: identical
+        statistics to the unsharded ensemble at the same seed, including
+        a trajectory count that is NOT a mesh multiple (padding rows must
+        not bias the mean/std)."""
+        from timecrystal_tpu.models.kicked_ising import KickedIsingModel
+        from timecrystal_tpu.parallel.sweep import default_mesh
+
+        L, chi, n, T = 6, 16, 5, 4      # n=5 on 8 devices: padded
+        m = KickedIsingModel(L, 1.0, 0.3, 1.0, disorder_seed=1, chi=chi,
+                             theta=0.92 * np.pi, dtype=DTYPE)
+        psi0 = create_initial_state(L, "neel", chi=chi, dtype=DTYPE)
+        ref = OpenSystemEvolution(m, gamma=0.02, max_chi=chi, seed=3) \
+            .evolve_ensemble(psi0, T, n)[0]
+        got = OpenSystemEvolution(m, gamma=0.02, max_chi=chi, seed=3) \
+            .evolve_ensemble(psi0, T, n, mesh=default_mesh())[0]
+        for k in ("sz_sites", "sz_sites_std", "max_chi"):
+            np.testing.assert_allclose(np.asarray(got[k]),
+                                       np.asarray(ref[k]), atol=1e-12,
+                                       err_msg=k)
+        np.testing.assert_allclose(got["per_trajectory"]["trunc_err"],
+                                   ref["per_trajectory"]["trunc_err"],
+                                   atol=1e-15)

@@ -136,16 +136,41 @@ class OpenSystemEvolution:
         return traces, times, info
 
     def evolve_ensemble(self, psi0: MPS, n_periods: int,
-                        n_trajectories: int) -> Tuple[Dict, List[float], Dict]:
+                        n_trajectories: int, mesh=None,
+                        axis_name: str = "batch"
+                        ) -> Tuple[Dict, List[float], Dict]:
         """vmapped trajectory ensemble: the channel average (upgrade over
-        the reference's single trajectory).  Returns mean traces."""
+        the reference's single trajectory).  Returns mean traces.
+
+        ``mesh``: shard the trajectory axis over a device mesh -- the
+        third embarrassingly-parallel axis after disorder realizations and
+        phase-grid points (parallel/sweep.py); multi-process (DCN) meshes
+        from parallel/multihost.py work too (the key split is
+        deterministic, so every process constructs identical trajectory
+        keys; traces are allgathered).  Trajectory statistics are
+        UNBIASED under mesh padding: padded rows are sliced off before
+        any mean/std."""
         keys = jax.random.split(self._key, n_trajectories + 1)
         self._key = keys[0]
         start = time.time()
         fn = jax.vmap(lambda k: _evolve_stochastic_scan(
             psi0, self.model.gates, k, self.gamma * self._dt(), n_periods,
             self.trunc_params)[2])
-        tr = fn(keys[1:])
+        traj_keys = keys[1:]
+        if mesh is not None:
+            from ..parallel.sweep import _mesh_place
+
+            pad_t = (-n_trajectories) % mesh.devices.size
+            if pad_t:       # dup keys are computed then DISCARDED below
+                traj_keys = jnp.concatenate(
+                    [traj_keys, jnp.tile(traj_keys[:1], (pad_t, 1))])
+            traj_keys = _mesh_place(mesh, axis_name)(traj_keys)
+        tr = fn(traj_keys)
+        if mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            tr = multihost_utils.process_allgather(tr, tiled=True)
+        tr = {k: np.asarray(v)[:n_trajectories] for k, v in tr.items()}
         jax.block_until_ready(tr["sz_sites"])
         sz = np.asarray(tr["sz_sites"])          # [T, n, L]
         traces = {
