@@ -78,12 +78,20 @@ def spawn_cluster(ranks: int) -> None:
         rank_main(0, ranks, port)
     finally:
         # run rank 0's shutdown barrier NOW: the other ranks' atexit
-        # shutdown waits on it, and we are about to wait on their exit
-        import jax
+        # shutdown waits on it, and we are about to wait on their exit.
+        # Best-effort (rank 0 may have failed before initialize), and never
+        # mask the real exception; kill stragglers instead of hanging.
+        try:
+            import jax
 
-        jax.distributed.shutdown()
+            jax.distributed.shutdown()
+        except Exception:
+            pass
         for p in procs:
-            p.wait(timeout=60)
+            try:
+                p.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                p.kill()
 
 
 if __name__ == "__main__":

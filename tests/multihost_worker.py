@@ -1,10 +1,15 @@
-"""Worker program for tests/test_multihost.py's 2-process CPU cluster.
+"""Worker program for the 2-process CPU cluster checks (tests/
+test_multihost.py and __graft_entry__._dryrun_cluster_leg).
 
 Each rank runs this file (``python multihost_worker.py RANK PORT OUT_NPZ``)
 with 4 virtual CPU devices; the pair forms a jax.distributed cluster with
-8 global devices and evolves the SAME ensemble problem the parent test
-computes single-process.  Also imported BY the test for ``make_problem()``
-so the problem definition exists exactly once.
+8 global devices and evolves the SAME ensemble problem the parent
+computes single-process.  ``python multihost_worker.py single - OUT_NPZ``
+computes the single-process (unsharded) reference for every leg in an
+identically-configured process (CPU backend, x64), so parents never have
+to mutate their own jax config to build the comparison.  Also imported BY
+the parents for ``make_problem()``/``spawn_cluster()`` so the problem
+definition and the launch harness exist exactly once.
 
 Not collected by pytest (no test_ prefix, no test functions).
 """
@@ -12,6 +17,7 @@ Not collected by pytest (no test_ prefix, no test functions).
 from __future__ import annotations
 
 import os
+import subprocess
 import sys
 
 import numpy as np
@@ -56,10 +62,95 @@ def make_site_problem():
     return psi0, gates, tp, 4
 
 
+def spawn_cluster(out_paths, timeout: float = 600.0):
+    """Launch the 2-rank cluster (and the 'single' reference process),
+    wait for all three, and return {name: log}.  Kills stragglers on
+    timeout; raises RuntimeError on any nonzero exit.  ``out_paths`` is a
+    dict with keys 'rank0', 'rank1', 'single' -> npz paths."""
+    import socket
+
+    s = socket.socket()
+    s.bind(("", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)   # this file pins cpu via jax.config
+    me = os.path.abspath(__file__)
+    argvs = {
+        "rank0": ["0", str(port), out_paths["rank0"]],
+        "rank1": ["1", str(port), out_paths["rank1"]],
+        "single": ["single", "-", out_paths["single"]],
+    }
+    procs = {name: subprocess.Popen(
+        [sys.executable, me] + argv, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for name, argv in argvs.items()}
+    logs = {}
+    try:
+        for name, p in procs.items():
+            logs[name], _ = p.communicate(timeout=timeout)
+    finally:
+        for p in procs.values():
+            if p.poll() is None:
+                p.kill()
+    for name, p in procs.items():
+        if p.returncode != 0:
+            raise RuntimeError(f"cluster process {name} failed:\n"
+                               f"{logs.get(name, '')[-2000:]}")
+    return logs
+
+
+def _compute_all(mh=None):
+    """Every leg's traces as one flat dict.  With ``mh`` (the multihost
+    module): sharded over the global mesh.  Without: the single-process
+    unsharded reference -- same keys, same problem."""
+    from timecrystal_tpu.parallel.site_shard import (evolve_floquet_sharded,
+                                                     site_mesh)
+    from timecrystal_tpu.parallel.sweep import evolve_batch, evolve_batch_auto
+
+    h_fields, taus, basis, spec = make_problem()
+    if mh is not None:
+        traces = mh.evolve_batch_multihost(h_fields, taus, basis, spec)
+    else:
+        import jax.numpy as jnp
+
+        traces = evolve_batch(jnp.asarray(h_fields), jnp.asarray(taus),
+                              jnp.asarray(basis), spec)
+    out = {k: np.asarray(v) for k, v in traces.items()}
+
+    # chi-staged production driver (escalation decisions allgathered on a
+    # cluster; plain device_get single-process)
+    staged, info = evolve_batch_auto(h_fields, taus, basis, spec,
+                                     chi_start=4, chunk_periods=2,
+                                     mesh=mh.global_mesh() if mh else None)
+    out.update({f"staged_{k}": np.asarray(v) for k, v in staged.items()})
+    out["staged_n_escalations"] = np.asarray(len(info["chi_escalations"]))
+
+    # site-axis sharding: the one path with collectives INSIDE the step
+    # (ppermute boundary-bond exchange + LE ring relay).  The reference
+    # is the genuinely UNSHARDED single-device scan.
+    spsi0, sgates, stp, n_site = make_site_problem()
+    if mh is not None:
+        _, site_tr = evolve_floquet_sharded(spsi0, sgates, n_site, stp,
+                                            site_mesh())
+        site_tr = mh.gather(site_tr)
+    else:
+        from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
+
+        _, site_tr = evolve_floquet_scan(spsi0, sgates, n_site, stp)
+    out.update({f"site_{k}": np.asarray(v)
+                for k, v in site_tr.items()
+                if k in ("sz_sites", "loschmidt_echo", "trunc_err")})
+    return out
+
+
 def main() -> None:
-    rank, port, out_path = int(sys.argv[1]), sys.argv[2], sys.argv[3]
-    # fresh 4-device virtual CPU topology regardless of the parent's flags
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    role, port, out_path = sys.argv[1], sys.argv[2], sys.argv[3]
+    single = role == "single"
+    # fresh virtual CPU topology regardless of the parent's flags: ranks
+    # get 4 devices each (8 global); the reference gets all 8 locally
+    os.environ["XLA_FLAGS"] = ("--xla_force_host_platform_device_count="
+                               + ("8" if single else "4"))
     import faulthandler
 
     faulthandler.dump_traceback_later(240, exit=True)  # hang -> loud death
@@ -70,42 +161,22 @@ def main() -> None:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     sys.path.insert(0, _REPO)
-    from timecrystal_tpu.parallel import multihost as mh
     from timecrystal_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
-    mh.initialize(f"localhost:{port}", num_processes=2, process_id=rank)
+    if single:
+        np.savez(out_path, **_compute_all(mh=None))
+        print("single-process reference done", flush=True)
+        return
+
+    from timecrystal_tpu.parallel import multihost as mh
+
+    mh.initialize(f"localhost:{port}", num_processes=2, process_id=int(role))
     mh.initialize()   # second call: the already-initialized no-op branch
     assert len(jax.devices()) == 8, jax.devices()
     assert len(jax.local_devices()) == 4
-
-    h_fields, taus, basis, spec = make_problem()
-    traces = mh.evolve_batch_multihost(h_fields, taus, basis, spec)
-
-    # the chi-staged production driver on the same global mesh: per-chunk
-    # escalation decisions allgathered, shared schedule across ranks
-    from timecrystal_tpu.parallel.sweep import evolve_batch_auto
-
-    staged, info = evolve_batch_auto(h_fields, taus, basis, spec,
-                                     chi_start=4, chunk_periods=2,
-                                     mesh=mh.global_mesh())
-    out = {k: np.asarray(v) for k, v in traces.items()}
-    out.update({f"staged_{k}": np.asarray(v) for k, v in staged.items()})
-    out["staged_n_escalations"] = np.asarray(len(info["chi_escalations"]))
-
-    # site-axis sharding across the cluster: the one path with collectives
-    # INSIDE the step (ppermute boundary-bond exchange + LE ring relay now
-    # riding the cross-process channel)
-    from timecrystal_tpu.parallel.site_shard import (evolve_floquet_sharded,
-                                                     site_mesh)
-
-    spsi0, sgates, stp, n_site = make_site_problem()
-    _, site_tr = evolve_floquet_sharded(spsi0, sgates, n_site, stp,
-                                        site_mesh())
-    out.update({f"site_{k}": np.asarray(v)
-                for k, v in mh.gather(site_tr).items()})
-    np.savez(out_path, **out)
-    print(f"rank {rank} done", flush=True)
+    np.savez(out_path, **_compute_all(mh=mh))
+    print(f"rank {role} done", flush=True)
 
 
 if __name__ == "__main__":

@@ -12,11 +12,6 @@ Two tiers:
     across hosts).
 """
 
-import os
-import socket
-import subprocess
-import sys
-
 import numpy as np
 import pytest
 
@@ -25,7 +20,6 @@ from timecrystal_tpu.parallel.sweep import evolve_batch
 
 from multihost_worker import make_problem
 
-_HERE = os.path.dirname(os.path.abspath(__file__))
 _TRACE_KEYS = ("sz_sites", "staggered_magnetization", "magnetization",
                "loschmidt_echo", "entropy_mid", "max_chi", "trunc_err")
 
@@ -82,84 +76,36 @@ class TestSingleProcess:
                                        atol=1e-12, err_msg=k)
 
 
-def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
-
-
 class TestTwoProcessCluster:
     def test_cluster_matches_single_process(self, tmp_path):
-        """2-rank jax.distributed CPU cluster (8 global devices) ==
-        single-process unsharded traces, identical on every rank."""
-        worker = os.path.join(_HERE, "multihost_worker.py")
-        port = _free_port()
-        outs = [str(tmp_path / f"rank{r}.npz") for r in (0, 1)]
-        env = dict(os.environ)
-        env.pop("JAX_PLATFORMS", None)   # worker pins cpu via jax.config
-        procs = [subprocess.Popen(
-            [sys.executable, worker, str(r), str(port), outs[r]],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            text=True) for r in (0, 1)]
-        logs = []
-        try:
-            for p in procs:
-                out, _ = p.communicate(timeout=300)
-                logs.append(out)
-        finally:
-            for p in procs:
-                if p.poll() is None:
-                    p.kill()
-        for r, p in enumerate(procs):
-            assert p.returncode == 0, \
-                f"rank {r} failed:\n{logs[r] if r < len(logs) else ''}"
+        """2-rank jax.distributed CPU cluster (8 global devices): fixed,
+        chi-staged, and site-sharded legs identical on every rank and
+        equal to an identically-configured single-process reference
+        (computed by the 'single' worker role -- same CPU/x64 config, so
+        the comparison never depends on this process's jax state)."""
+        from multihost_worker import spawn_cluster
 
-        ref = _reference_traces()
-        rank_traces = []
-        for o in outs:
+        paths = {name: str(tmp_path / f"{name}.npz")
+                 for name in ("rank0", "rank1", "single")}
+        spawn_cluster(paths, timeout=300)
+
+        data = {}
+        for name, o in paths.items():
             with np.load(o) as z:
-                rank_traces.append({k: z[k] for k in z.files})
+                data[name] = {k: z[k] for k in z.files}
+        r0, r1, ref = data["rank0"], data["rank1"], data["single"]
+        # every rank allgathers the identical full result for every leg
+        for k in r0:
+            np.testing.assert_array_equal(r0[k], r1[k], err_msg=k)
+        for k in _TRACE_KEYS:                      # fixed-chi leg
+            np.testing.assert_allclose(r0[k], ref[k], atol=1e-12, err_msg=k)
+        assert (int(r0["staged_n_escalations"])    # staged leg: same ladder
+                == int(ref["staged_n_escalations"]))
         for k in _TRACE_KEYS:
-            # every rank allgathers the identical full batch
-            np.testing.assert_array_equal(rank_traces[0][k],
-                                          rank_traces[1][k], err_msg=k)
-            np.testing.assert_allclose(rank_traces[0][k], ref[k],
+            np.testing.assert_allclose(r0[f"staged_{k}"], ref[f"staged_{k}"],
                                        atol=1e-12, err_msg=k)
-
-        # the chi-staged driver across the cluster: identical schedule on
-        # every rank, traces equal to the single-process staged run
-        from timecrystal_tpu.parallel.sweep import evolve_batch_auto
-
-        h_fields, taus, basis, spec = make_problem()
-        ref_staged, ref_info = evolve_batch_auto(h_fields, taus, basis, spec,
-                                                 chi_start=4, chunk_periods=2)
-        assert (int(rank_traces[0]["staged_n_escalations"])
-                == int(rank_traces[1]["staged_n_escalations"])
-                == len(ref_info["chi_escalations"]))
-        for k in _TRACE_KEYS:
-            np.testing.assert_array_equal(rank_traces[0][f"staged_{k}"],
-                                          rank_traces[1][f"staged_{k}"],
-                                          err_msg=k)
-            np.testing.assert_allclose(rank_traces[0][f"staged_{k}"],
-                                       np.asarray(ref_staged[k]),
-                                       atol=1e-12, err_msg=k)
-
-        # site-axis sharding: ppermutes crossed the process boundary; the
-        # traces must still match the single-device scan exactly
-        from multihost_worker import make_site_problem
-
-        from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
-
-        spsi0, sgates, stp, n_site = make_site_problem()
-        _, site_ref = evolve_floquet_scan(spsi0, sgates, n_site, stp)
-        for k in ("sz_sites", "loschmidt_echo", "trunc_err"):
-            np.testing.assert_array_equal(rank_traces[0][f"site_{k}"],
-                                          rank_traces[1][f"site_{k}"],
-                                          err_msg=k)
-            np.testing.assert_allclose(rank_traces[0][f"site_{k}"],
-                                       np.asarray(site_ref[k]),
+        for k in ("sz_sites", "loschmidt_echo", "trunc_err"):   # site leg
+            np.testing.assert_allclose(r0[f"site_{k}"], ref[f"site_{k}"],
                                        atol=1e-13, err_msg=k)
 
     def test_checkpoint_rejected_multiprocess(self):
@@ -179,5 +125,21 @@ class TestTwoProcessCluster:
                                   chi_start=4, chunk_periods=2,
                                   mesh=mh.global_mesh(),
                                   checkpoint_dir="/tmp/never-used")
+        finally:
+            jax.process_count = orig
+
+    def test_phase_grid_checkpoint_rejected_multiprocess(self):
+        """sweep_phase_grid must refuse checkpoint_dir multi-process:
+        ranks would race the same chunk/manifest files."""
+        import jax
+
+        from timecrystal_tpu.analysis.phase_diagram import sweep_phase_grid
+
+        orig = jax.process_count
+        jax.process_count = lambda *a, **kw: 2
+        try:
+            with pytest.raises(ValueError, match="multi-process"):
+                sweep_phase_grid([0.2], [2.0], {},
+                                 checkpoint_dir="/tmp/never-used")
         finally:
             jax.process_count = orig

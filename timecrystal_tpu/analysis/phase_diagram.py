@@ -50,8 +50,9 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
     or an explicit jax.sharding.Mesh to control placement.  In a
     multi-process run (parallel/multihost.py) 'auto' spans every host's
     devices -- jax.devices() is global -- and evolve_batch_sharded routes
-    through the allgathering multihost path, so the grid scales over DCN
-    with no changes here.
+    through the allgathering multihost path, so the grid scales over DCN;
+    ``checkpoint_dir`` is rejected there (ranks would race the same
+    chunk files).
     """
     hc = GRID_HARDCODED
     tp = TruncParams(chi_max=hc["max_chi"],
@@ -81,6 +82,15 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
         # the remainder evolves (kill-and-resume covered by
         # tests/test_utils.py).  Chunks share one padded size so every chunk
         # reuses the same compiled program.
+        import jax
+
+        if jax.process_count() > 1:
+            raise ValueError(
+                "checkpoint_dir is not supported in a multi-process run: "
+                "every process would race the same chunk/manifest files "
+                "(a shared filesystem interleaves the .tmp writes).  Run "
+                "the sweep without checkpointing, or checkpoint per-slice "
+                "single-process sweeps.")
         import hashlib
 
         import jax.numpy as jnp

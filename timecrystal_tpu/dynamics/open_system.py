@@ -170,9 +170,9 @@ class OpenSystemEvolution:
             from jax.experimental import multihost_utils
 
             tr = multihost_utils.process_allgather(tr, tiled=True)
+        # np.asarray forces the device->host fetch (and thereby syncs)
         tr = {k: np.asarray(v)[:n_trajectories] for k, v in tr.items()}
-        jax.block_until_ready(tr["sz_sites"])
-        sz = np.asarray(tr["sz_sites"])          # [T, n, L]
+        sz = tr["sz_sites"]                      # [T, n, L]
         traces = {
             "sz_sites": sz.mean(axis=0),
             "sz_sites_std": sz.std(axis=0),

@@ -65,7 +65,10 @@ def initialize(coordinator_address: str | None = None,
                                    process_id=process_id,
                                    local_device_ids=local_device_ids)
     except RuntimeError as e:   # raced/duplicate init: keep the first one
-        if "already initialized" not in str(e).lower():
+        # jax 0.9 wording: "distributed.initialize should only be called
+        # once."; older/other versions say "already initialized"
+        msg = str(e).lower()
+        if "already initialized" not in msg and "only be called once" not in msg:
             raise
 
 
