@@ -283,3 +283,40 @@ class TestSpectral:
         assert float(obs.detect_period_doubling_from_loschmidt(alternating)) > 0.5
         assert float(obs.detect_period_doubling_from_loschmidt(alternating)) > \
             float(obs.detect_period_doubling_from_loschmidt(rand))
+
+
+class TestBatchedSingleBondConsistency:
+    def test_batched_matches_single_bond(self):
+        """apply_bond_gates (the hot batched path) and apply_single_bond_gate
+        (bond_update_core: site-shard boundaries, periodic swap network)
+        deliberately duplicate the update algebra -- this test pins the two
+        implementations together so a fix to one cannot silently drift the
+        other (see the NOTE in truncate.apply_bond_gates)."""
+        from timecrystal_tpu.core.truncate import (apply_bond_gates,
+                                                   apply_single_bond_gate)
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+
+        L, chi = 8, 8
+        hf = draw_disorder_reference(L, 0.3, 7)
+        gates = make_floquet_gates(1.0, jnp.asarray(hf, DTYPE), 0.9,
+                                   theta=0.93 * np.pi, dtype=DTYPE)
+        tp = TruncParams(chi_max=0, svd_min=1e-12)
+        psi = M.create_initial_state(L, "neel", chi=chi, dtype=DTYPE)
+        # entangle a little first so the update is not rank-1 trivial
+        psi, _ = apply_bond_gates(psi, gates.bond_gates, 0, tp)
+        psi, _ = apply_bond_gates(psi, gates.bond_gates, 1, tp)
+
+        batched, err_b = apply_bond_gates(psi, gates.bond_gates, 0, tp)
+        single, err_s = psi, jnp.zeros((), psi.lam.dtype)
+        for b in range(0, L - 1, 2):
+            single, e = apply_single_bond_gate(single, gates.bond_gates[b],
+                                               b, tp)
+            err_s = err_s + e
+        np.testing.assert_allclose(np.asarray(batched.lam),
+                                   np.asarray(single.lam), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(batched.B.re),
+                                   np.asarray(single.B.re), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(batched.B.im),
+                                   np.asarray(single.B.im), atol=1e-13)
+        np.testing.assert_allclose(float(err_b), float(err_s), atol=1e-15)

@@ -302,3 +302,92 @@ class TestMeasureEvery:
         with pytest.raises(ValueError):
             evolve_floquet_scan(psi0, gates, 10,
                                 TruncParams(svd_min=1e-14), measure_every=3)
+
+
+class TestAutoDriverEdges:
+    """Regression tests for review findings on evolve_floquet_auto and
+    CustomFloquet (round-3 review sweep)."""
+
+    _MK = dict(n_sites=8, J=1.0, h_disorder=0.3, tau=1.0, disorder_seed=11,
+               theta=0.93 * np.pi, dtype=DTYPE)
+
+    def test_random_state_single_draw_and_resume(self, tmp_path):
+        """state_type='random': the initial-state basis is realized ONCE
+        (t=0 trace row, Loschmidt reference, ladder rebuilds) and a
+        checkpoint resume restores THAT realization instead of redrawing
+        -- even when the resuming process draws differently (state_rng
+        deliberately different on resume)."""
+        kw = dict(trunc_params=TruncParams(chi_max=0, svd_min=1e-12),
+                  chi_start=4, chi_limit=16, chunk_periods=2)
+        straight, t_s, _, _ = evolve_floquet_auto(
+            self._MK, "random", 4, state_rng=np.random.default_rng(5), **kw)
+        ck = str(tmp_path / "ck")
+        evolve_floquet_auto(self._MK, "random", 2, checkpoint_dir=ck,
+                            state_rng=np.random.default_rng(5), **kw)
+        resumed, t_r, _, _ = evolve_floquet_auto(
+            self._MK, "random", 4, checkpoint_dir=ck,
+            state_rng=np.random.default_rng(99), **kw)   # wrong draw: unused
+        assert t_r == t_s
+        for k in ("sz_sites", "loschmidt_echo", "staggered_magnetization"):
+            np.testing.assert_allclose(resumed[k], straight[k], atol=1e-12,
+                                       err_msg=k)
+
+    def test_zero_periods(self):
+        """n_periods=0 returns initial-row-only traces, not a crash."""
+        traces, times, info, _ = evolve_floquet_auto(
+            self._MK, "neel", 0,
+            trunc_params=TruncParams(chi_max=0, svd_min=1e-12),
+            chi_start=4, chi_limit=8)
+        assert times == [0.0]
+        assert traces["sz_sites"].shape == (1, 8)
+        assert float(traces["loschmidt_echo"][0]) == 1.0
+        assert info["n_periods"] == 0
+
+    def test_evolve_floquet_in_scan_measure_every(self):
+        """CustomFloquet.evolve_floquet(measure_every=m | m divides n)
+        stores states in-scan at the reference grid: same states/times as
+        the dense run subsampled host-side."""
+        from timecrystal_tpu.core.mps import overlap
+        from timecrystal_tpu.dynamics.tebd import CustomFloquet
+        from timecrystal_tpu.models.kicked_ising import KickedIsingModel
+        from timecrystal_tpu.ops import cpx
+
+        m = KickedIsingModel(**{**self._MK, "chi": 16})
+        tp = TruncParams(chi_max=0, svd_min=1e-12)
+        psi0 = create_initial_state(8, "neel", chi=16, dtype=DTYPE)
+        dense_states, dense_times, _ = CustomFloquet(m, tp) \
+            .evolve_floquet(psi0, 6, measure_every=1)
+        sparse_states, sparse_times, info = CustomFloquet(m, tp) \
+            .evolve_floquet(psi0, 6, measure_every=2)
+        assert sparse_times == [dense_times[i] for i in (0, 1, 3, 5)]
+        for s_sp, s_d in zip(sparse_states,
+                             [dense_states[i] for i in (0, 1, 3, 5)]):
+            ov = float(cpx.abs2(overlap(s_sp, s_d)))
+            np.testing.assert_allclose(ov, 1.0, atol=1e-12)
+        assert len(info["bond_dimensions"]) == len(sparse_states)
+
+    def test_custom_floquet_partial_dict_keeps_defaults(self):
+        """A partial trunc_params dict keeps the None-path defaults for
+        missing keys (chi_max=100, trunc_cut=1e-10) instead of silently
+        uncapping chi."""
+        from timecrystal_tpu.dynamics.tebd import CustomFloquet
+        from timecrystal_tpu.models.kicked_ising import KickedIsingModel
+
+        m = KickedIsingModel(**{**self._MK, "chi": 16})
+        tp = CustomFloquet(m, {"svd_min": 1e-7}).trunc_params
+        assert tp.chi_max == 100
+        assert tp.trunc_cut == 1e-10
+        assert tp.svd_min == 1e-7
+
+    def test_tebd_evolution_final_bond_dim_scalar(self):
+        """TEBDEvolution.evolve's info['final_bond_dim'] is a scalar like
+        every other driver (the per-bond profile stays in
+        info['bond_dimensions'])."""
+        L, chi = 6, 16
+        nn = spin_chain_model(L, Jz=1.0, hx=0.6, hz=0.2)
+        eng = TEBDEvolution(nn, dt=0.05, max_chi=chi,
+                            trunc_params={"svd_min": 1e-14})
+        psi0 = create_initial_state(L, "neel", chi=chi, dtype=DTYPE)
+        _, _, info = eng.evolve(psi0, total_time=0.2)
+        assert isinstance(info["final_bond_dim"], int)
+        assert info["final_bond_dim"] >= 1

@@ -91,6 +91,32 @@ def product_state(basis_indices, chi: int, d: int = 2, dtype=jnp.float32) -> MPS
     return MPS(B=C(B_re, B_im), lam=lam)
 
 
+def state_basis_indices(
+    n_sites: int,
+    state_type: str,
+    d: int = 2,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Basis-index realization of a named product state ('up' == index 0).
+
+    'random' DRAWS here (fresh default_rng unless ``rng`` is given) --
+    callers that must reference one realization repeatedly (e.g. the
+    chi-escalation driver's t=0 trace row / Loschmidt reference across
+    ladder rebuilds and checkpoint resume) should call this ONCE and build
+    states from the returned indices via ``product_state``."""
+    if state_type == "all_up":
+        return np.zeros(n_sites, dtype=np.int32)
+    if state_type == "all_down":
+        return np.full(n_sites, d - 1, dtype=np.int32)
+    if state_type == "neel":
+        return np.array([0 if i % 2 == 0 else d - 1 for i in range(n_sites)],
+                        dtype=np.int32)
+    if state_type == "random":
+        gen = rng if rng is not None else np.random.default_rng()
+        return gen.integers(0, d, size=n_sites).astype(np.int32)
+    raise ValueError(f"Unknown state type: {state_type}")
+
+
 def create_initial_state(
     n_sites: int,
     state_type: str = "all_up",
@@ -104,17 +130,7 @@ def create_initial_state(
     Reference: src/core/tensor_utils.py:28-62 (all_up / all_down / neel /
     random on TeNPy SpinHalfSite; 'up' == sigma_z = +1 == basis index 0).
     """
-    if state_type == "all_up":
-        idx = np.zeros(n_sites, dtype=np.int32)
-    elif state_type == "all_down":
-        idx = np.full(n_sites, d - 1, dtype=np.int32)
-    elif state_type == "neel":
-        idx = np.array([0 if i % 2 == 0 else d - 1 for i in range(n_sites)], dtype=np.int32)
-    elif state_type == "random":
-        gen = rng if rng is not None else np.random.default_rng()
-        idx = gen.integers(0, d, size=n_sites).astype(np.int32)
-    else:
-        raise ValueError(f"Unknown state type: {state_type}")
+    idx = state_basis_indices(n_sites, state_type, d=d, rng=rng)
     return product_state(idx, chi=chi, d=d, dtype=dtype)
 
 

@@ -110,6 +110,14 @@ def apply_bond_gates(psi: MPS, gates: C, start: int, tp: TruncParams):
     Replaces the serial per-bond loop at reference kicked_ising.py:128-148
     (one TeNPy apply_local_op + MPS copy per bond) with a single batched
     contraction + batched SVD that XLA maps onto the MXU.
+
+    NOTE: the update algebra here deliberately duplicates
+    ``bond_update_core`` (the single-bond path used by site_shard boundary
+    bonds and the periodic swap network) rather than vmapping it -- this
+    is THE hot path and its compiled form is what every benchmark
+    measures.  Any change to the truncation/renormalization logic must be
+    made in BOTH; tests/test_core_mps.py::test_batched_matches_single_bond
+    pins them together.
     """
     L, chi, d, _ = psi.B.re.shape
     idx_np = np.arange(start, L - 1, 2)  # static bond indices

@@ -163,7 +163,13 @@ class CustomFloquet:
         elif trunc_params is None:
             self.trunc_params = TruncParams(chi_max=100, svd_min=1e-12, trunc_cut=1e-10)
         else:
-            self.trunc_params = TruncParams.from_dict(trunc_params)
+            # a PARTIAL dict keeps the None-path defaults for missing keys
+            # (from_dict alone maps a missing chi_max to 0 = uncapped --
+            # different physics than the documented reference defaults)
+            d = dict(trunc_params)
+            d.setdefault("chi_max", 100)
+            d.setdefault("trunc_cut", 1e-10)
+            self.trunc_params = TruncParams.from_dict(d)
 
     def evolve_floquet_traces(self, psi_initial: MPS, n_periods: int,
                               measure_every: int = 1) -> Tuple[Dict, List[float], Dict]:
@@ -219,12 +225,20 @@ class CustomFloquet:
     def evolve_floquet(self, psi_initial: MPS, n_periods: int,
                        measure_every: int = 1) -> Tuple[List[MPS], List[float], Dict]:
         """Reference-contract path returning the state history
-        (tebd_evolution.py:218-258).  Memory scales with n_periods; prefer
-        ``evolve_floquet_traces`` for long runs."""
+        (tebd_evolution.py:218-258).  Memory scales with the number of
+        STORED states: when measure_every divides n_periods the scan
+        stores states in-scan only at the measurement grid (an
+        measure_every-fold device-memory cut); otherwise every period is
+        stored and subsampled host-side.  Prefer ``evolve_floquet_traces``
+        for long runs."""
         start = time.time()
-        psi_final, tr = evolve_floquet_scan(psi_initial, self.model.gates,
-                                            n_periods, self.trunc_params,
-                                            with_states=True)
+        m = int(measure_every)
+        in_scan = m > 1 and n_periods % m == 0
+        psi_final, tr = evolve_floquet_scan(
+            psi_initial, self.model.gates, n_periods, self.trunc_params,
+            with_states=True,
+            measure_every=m if in_scan else 1,
+            measure_phase=0 if in_scan else -1)
         jax.block_until_ready(psi_final.B.re)
         wall_time = time.time() - start
 
@@ -233,10 +247,14 @@ class CustomFloquet:
         times = [0.0]
         bond_dims = [int(np.max(np.asarray(bond_dimensions(psi_initial))[1:-1], initial=1))]
         max_chi = np.asarray(tr["max_chi"])
-        for p in range(0, n_periods, measure_every):
-            states.append(MPS(B=stacked.B[p], lam=stacked.lam[p]))
+        if in_scan:     # stored entry j == state after period j*m + 1
+            pairs = [(j, j * m) for j in range(n_periods // m)]
+        else:           # dense storage, host-side subsampling
+            pairs = [(p, p) for p in range(0, n_periods, m)]
+        for j, p in pairs:
+            states.append(MPS(B=stacked.B[j], lam=stacked.lam[j]))
             times.append((p + 1) * 2 * self.model.tau)
-            bond_dims.append(int(max_chi[p]))
+            bond_dims.append(int(max_chi[j]))
 
         info = {
             "wall_time": wall_time,
@@ -318,7 +336,8 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
                         measure_every: int = 1, chunk_periods: int = 16,
                         checkpoint_dir: str | None = None,
                         frame: str = "strict", growth: float = 2.0,
-                        cap_svd_method: str | None = None):
+                        cap_svd_method: str | None = None,
+                        state_rng: np.random.Generator | None = None):
     """Chi-escalation driver: evolve at a small padded chi and escalate to
     2x whenever the effective bond dimension saturates the padding.
 
@@ -359,7 +378,7 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
     Returns (traces, times, info, model); info gains 'chi_pad_used',
     'chi_escalations', and 'n_rerun_periods'.
     """
-    from ..core.mps import create_initial_state, pad_mps
+    from ..core.mps import pad_mps, product_state, state_basis_indices
     from ..models.kicked_ising import KickedIsingModel
 
     tp = trunc_params if isinstance(trunc_params, TruncParams) \
@@ -392,8 +411,12 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
     model_kwargs["h_fields"] = model.h_fields
     model_kwargs.pop("disorder_seed", None)
     err_tol = _stage_err_tol(model.dtype, tp.svd_min, model.n_sites - 1)
-    psi = create_initial_state(model.n_sites, state_type, chi=chi,
-                               dtype=model.dtype)
+    # realize the initial-state basis ONCE: 'random' draws fresh indices
+    # per call, and the t=0 trace row, the Loschmidt reference across
+    # ladder rebuilds, AND a checkpoint resume must all use THIS
+    # realization (state_rng pins the draw for reproducible random states)
+    basis_idx = state_basis_indices(model.n_sites, state_type, rng=state_rng)
+    psi = product_state(basis_idx, chi=chi, dtype=model.dtype)
     psi0 = psi
     p_done = 0
     escalations: list = []
@@ -445,9 +468,13 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
                 # the fields realized by the ORIGINAL run (a fresh process
                 # with disorder_seed=None would otherwise redraw)
                 model_kwargs["h_fields"] = np.asarray(meta["h_fields"])
+            if "basis_idx" in meta:
+                # the initial-state basis realized by the ORIGINAL run
+                # (state_type='random' would otherwise redraw, corrupting
+                # the Loschmidt reference of every resumed period)
+                basis_idx = np.asarray(meta["basis_idx"], np.int32)
             model = KickedIsingModel(chi=chi, **model_kwargs)
-            psi0 = create_initial_state(model.n_sites, state_type, chi=chi,
-                                        dtype=model.dtype)
+            psi0 = product_state(basis_idx, chi=chi, dtype=model.dtype)
             with np.load(ck_traces) as z:
                 # n_chunks derived from the npz itself: the traces file is
                 # written (atomically) BEFORE the state, so it can only be
@@ -522,15 +549,22 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
                         "n_rerun": n_rerun,
                         "wall_time": wall_prev + (time.time() - start),
                         "fingerprint": fingerprint,
-                        "h_fields": np.asarray(model.h_fields).tolist()})
+                        "h_fields": np.asarray(model.h_fields).tolist(),
+                        "basis_idx": np.asarray(basis_idx).tolist()})
 
-    tr_all = {k: np.concatenate([c[k] for c in chunks], axis=0)
-              for k in ("sz_sites", "loschmidt_echo", "entropies",
-                        "max_chi", "trunc_err")}
     wall_time = wall_prev + (time.time() - start)
 
-    init = _initial_observables(create_initial_state(
-        model.n_sites, state_type, chi=chi, dtype=model.dtype))
+    init = _initial_observables(product_state(basis_idx, chi=chi,
+                                              dtype=model.dtype))
+    trace_keys = ("sz_sites", "loschmidt_echo", "entropies", "max_chi",
+                  "trunc_err")
+    if chunks:
+        tr_all = {k: np.concatenate([c[k] for c in chunks], axis=0)
+                  for k in trace_keys}
+    else:       # n_periods == 0: initial-row-only traces, same contract
+        tr_all = {k: np.zeros((0,) + np.asarray(init[k]).shape,
+                              dtype=np.asarray(init[k]).dtype)
+                  for k in trace_keys}
     sel = np.arange(0, n_periods, measure_every)
     traces = {}
     for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi",
@@ -674,7 +708,9 @@ class TEBDEvolution:
             "bond_dimensions": bond_dims,
             "entanglement_entropies": entropies,
             "truncation_errors": float(np.sum(trunc_errs)),
-            "final_bond_dim": np.asarray(bond_dimensions(psi)),
+            # scalar, like every other driver in this file (the per-bond
+            # profile is info['bond_dimensions'][-1])
+            "final_bond_dim": int(np.max(np.asarray(bond_dimensions(psi)))),
             "n_steps": n_steps,
         }
         return states, times, info
