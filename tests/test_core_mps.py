@@ -82,6 +82,30 @@ class TestComplexScalarCoercion:
         np.testing.assert_allclose(np.asarray(out4.re),
                                    np.asarray(a.im), atol=1e-12)
 
+    def test_reflected_operators(self):
+        """Left-operand arithmetic must do complex math, not tuple
+        repetition (2 * C used to return the 4-tuple (re, im, re, im))."""
+        a = cpx.C(jnp.asarray([1.0, 2.0]), jnp.asarray([0.5, -1.0]))
+        out = 2 * a
+        assert isinstance(out, cpx.C) and out.re.shape == (2,)
+        np.testing.assert_allclose(np.asarray(out.re), [2.0, 4.0], atol=0)
+        out2 = (1 + 2j) * a
+        ref = (1 + 2j) * (np.asarray(a.re) + 1j * np.asarray(a.im))
+        np.testing.assert_allclose(np.asarray(out2.re), ref.real, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(out2.im), ref.imag, atol=1e-12)
+        out3 = 1.0 + a
+        np.testing.assert_allclose(np.asarray(out3.re), [2.0, 3.0], atol=0)
+        out4 = 1.0 - a
+        np.testing.assert_allclose(np.asarray(out4.re), [0.0, -1.0], atol=0)
+        np.testing.assert_allclose(np.asarray(out4.im), [-0.5, 1.0], atol=0)
+
+    def test_implicit_array_conversion_rejected(self):
+        """np.asarray(C) (e.g. a jax array on the LEFT of an operator)
+        must fail loudly instead of stacking (re, im) into a real axis."""
+        a = cpx.C(jnp.asarray([1.0]), jnp.asarray([0.5]))
+        with pytest.raises(TypeError, match="cpx.to_numpy"):
+            np.asarray(a)
+
 
 class TestTwoSiteGate:
     def test_identity_gate_preserves_state(self):

@@ -443,3 +443,114 @@ class TestJacobiProj:
         S, Vh, disc = csvd_topk(_to_c(M), k, method="jacobi")
         np.testing.assert_allclose(np.asarray(S), np.asarray(S_ref),
                                    atol=1e-5)
+
+
+class TestRoutingAndShapes:
+    """Round-3 review fixes: method validation, multi-leading-dim batching
+    for the jacobi family, batch-hoisted degeneracy fallback, heigh guard."""
+
+    def test_unknown_method_raises(self):
+        from timecrystal_tpu.ops.csvd import csvd_topk
+        M = RNG.standard_normal((8, 8)) + 1j * RNG.standard_normal((8, 8))
+        with pytest.raises(ValueError, match="unknown csvd_topk method"):
+            csvd_topk(_to_c(M), 4, method="navtive")
+
+    def test_jacobi_sv_multi_lead_dims(self):
+        """csvd_topk(method='jacobi') on theta [2, 3, n, n]: flattened into
+        the kernel and restored -- equal to per-matrix native results."""
+        from timecrystal_tpu.ops.csvd import csvd_topk
+        n, k = 8, 4
+        M = (RNG.standard_normal((2, 3, n, n))
+             + 1j * RNG.standard_normal((2, 3, n, n)))
+        S, Vh, disc = csvd_topk(_to_c(M), k, method="jacobi")
+        assert S.shape == (2, 3, k) and Vh.re.shape == (2, 3, k, n)
+        for i in range(2):
+            for j in range(3):
+                s_ref = np.linalg.svd(M[i, j], compute_uv=False)
+                np.testing.assert_allclose(np.asarray(S[i, j]), s_ref[:k],
+                                           atol=1e-8)
+
+    def test_jacobi_full_multi_lead_rect(self):
+        """csvd(method='jacobi') on rectangular theta [2, 2, 8, 6]."""
+        M = (RNG.standard_normal((2, 2, 8, 6))
+             + 1j * RNG.standard_normal((2, 2, 8, 6)))
+        U, S, Vh = csvd(_to_c(M), method="jacobi")
+        assert S.shape == (2, 2, 6) and U.re.shape == (2, 2, 8, 6)
+        for i in range(2):
+            for j in range(2):
+                rec = (cpx.to_numpy(U)[i, j]
+                       @ np.diag(np.asarray(S)[i, j])
+                       @ cpx.to_numpy(Vh)[i, j])
+                np.testing.assert_allclose(rec, M[i, j], atol=1e-8)
+
+    def test_jacobi_proj_multi_lead_dims(self):
+        from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_proj
+        n, k = 8, 4
+        base = (RNG.standard_normal((2, 2, n, n))
+                + 1j * RNG.standard_normal((2, 2, n, n)))
+        # steep spectrum so the projected capture is exact-class
+        u, s, vh = np.linalg.svd(base)
+        s = np.geomspace(1.0, 1e-6, n)[None, None, :] * np.ones((2, 2, 1))
+        M = u @ (s[..., :, None] * vh)
+        S, V, disc = jacobi_proj(_to_c(M), k, polish=k, interpret=True)
+        assert S.shape == (2, 2, k) and V.re.shape == (2, 2, n, k)
+        Sn = np.asarray(S)
+        for i in range(2):
+            for j in range(2):
+                # variational: S <= S_true elementwise; close at this
+                # spectrum (the restriction under-reads by O(tail weight))
+                assert np.all(Sn[i, j] <= s[0, 0, :k] * (1 + 1e-6))
+                np.testing.assert_allclose(Sn[i, j], s[0, 0, :k], rtol=5e-2)
+
+    def test_gram_eigh_batch_matches_native(self):
+        """_svd_gram_eigh_batch (the batch-hoisted fallback form) equals
+        native LAPACK on a generic batch."""
+        from timecrystal_tpu.ops.csvd import _svd_gram_eigh_batch
+        M = (RNG.standard_normal((5, 8, 8))
+             + 1j * RNG.standard_normal((5, 8, 8)))
+        U, S, Vh = _svd_gram_eigh_batch(_to_c(M))
+        for i in range(5):
+            s_ref = np.linalg.svd(M[i], compute_uv=False)
+            np.testing.assert_allclose(np.asarray(S[i]), s_ref, atol=1e-7)
+            rec = (cpx.to_numpy(U)[i] @ np.diag(np.asarray(S)[i])
+                   @ cpx.to_numpy(Vh)[i])
+            np.testing.assert_allclose(rec, M[i], atol=1e-7)
+
+    def test_gram_eigh_batch_degenerate_fallback(self):
+        """A batch containing a >=3-fold exactly-degenerate matrix takes
+        the batch-level GS fallback; V must come back orthonormal for
+        EVERY matrix."""
+        from timecrystal_tpu.ops.csvd import _svd_gram_eigh_batch
+        n = 6
+        q, _ = np.linalg.qr(RNG.standard_normal((n, n))
+                            + 1j * RNG.standard_normal((n, n)))
+        s_deg = np.array([2.0, 2.0, 2.0, 1.0, 0.5, 0.25])
+        M = np.stack([
+            q @ np.diag(s_deg) @ q.conj().T,          # 3-fold degenerate
+            RNG.standard_normal((n, n)) + 1j * RNG.standard_normal((n, n)),
+        ])
+        U, S, Vh = _svd_gram_eigh_batch(_to_c(M))
+        for i in range(2):
+            Vhn = cpx.to_numpy(Vh)[i]
+            np.testing.assert_allclose(Vhn @ Vhn.conj().T, np.eye(n),
+                                       atol=1e-8)
+            s_ref = np.linalg.svd(M[i], compute_uv=False)
+            np.testing.assert_allclose(np.asarray(S[i]), s_ref, atol=1e-6)
+
+    def test_heigh_degenerate_cluster_orthonormal(self):
+        """heigh's TPU path (gram_eigh) on a Hermitian with a 3-fold
+        exactly-degenerate eigenvalue: the new runtime guard must return
+        an orthonormal V (it used to silently mis-pair)."""
+        from timecrystal_tpu.ops.csvd import heigh
+        n = 6
+        q, _ = np.linalg.qr(RNG.standard_normal((n, n))
+                            + 1j * RNG.standard_normal((n, n)))
+        w_deg = np.array([-1.0, 0.5, 2.0, 2.0, 2.0, 3.0])
+        G = q @ np.diag(w_deg) @ q.conj().T
+        w, V = heigh(_to_c(G), method="gram_eigh")
+        Vn = cpx.to_numpy(V)
+        np.testing.assert_allclose(Vn.conj().T @ Vn, np.eye(n), atol=1e-8)
+        np.testing.assert_allclose(np.sort(np.asarray(w)), np.sort(w_deg),
+                                   atol=1e-8)
+        rec = Vn @ np.diag(np.asarray(w)) @ Vn.conj().T
+        np.testing.assert_allclose(rec, G, atol=1e-7)

@@ -84,6 +84,30 @@ class C(NamedTuple):
                      (self.im * other.re - self.re * other.im) / d)
         return C(self.re / other, self.im / other)
 
+    # Reflected operators: without these, left-operand arithmetic falls
+    # into tuple semantics (``2 * psi`` -> tuple REPETITION (re, im, re,
+    # im)) or numpy/jax array coercion -- silent garbage, not an error.
+    # Multiplication/addition commute, subtraction reflects via negation.
+    def __radd__(self, other):
+        return self.__add__(other)
+
+    def __rmul__(self, other):
+        return self.__mul__(other)
+
+    def __rsub__(self, other):
+        return (-self).__add__(other)
+
+    def __array__(self, dtype=None, copy=None):
+        # numpy/jax coercion of a C (e.g. ``jnp_array * psi``: the array's
+        # __mul__ wins the dispatch and asarray's the right operand) would
+        # silently stack (re, im) into a leading axis-2 real array.  Fail
+        # loudly instead; use cpx.to_numpy for an explicit conversion.
+        raise TypeError(
+            "implicit array conversion of cpx.C is disallowed (it would "
+            "stack (re, im) into a real axis and corrupt complex "
+            "arithmetic); put the C operand on the LEFT of the operator "
+            "or convert explicitly with cpx.to_numpy")
+
     def __neg__(self):
         return C(-self.re, -self.im)
 

@@ -178,8 +178,15 @@ def _select_fast(cands: C, n: int) -> C:
     return V
 
 
-def _svd_gram_eigh(theta: C, select: str = "fast"):
-    """TPU-native complex SVD via Gram matrix + real-embedded eigh."""
+def _svd_gram_eigh(theta: C, select: str = "fast", return_defect: bool = False):
+    """TPU-native complex SVD via Gram matrix + real-embedded eigh.
+
+    ``return_defect=True`` skips the in-function degeneracy fallback and
+    returns (U, S, Vh, defect) instead, so BATCHED callers can hoist the
+    fallback decision to one batch-level cond (_svd_gram_eigh_batch): a
+    per-matrix lax.cond under vmap lowers to select, which executes both
+    branches -- the O(2n)-step Gram-Schmidt scan would then run for every
+    matrix in every call."""
     m, n = theta.shape[-2:]
     if m != n:
         raise NotImplementedError("gram_eigh SVD implemented for square theta")
@@ -212,23 +219,26 @@ def _svd_gram_eigh(theta: C, select: str = "fast"):
     w, W = jnp.linalg.eigh(Rg)                       # ascending
     W = W[:, ::-1]                                   # descending importance
     cands = C(W[:n, :], W[n:, :])                    # [n, 2n] complex columns
+    defect = None
     if select == "fast":
         V = _select_fast(cands, n)                   # [n, n]
         # runtime guard for >=3-fold exactly-degenerate NONZERO sigma
         # clusters: the one-step dedup cannot fix chains and used to
         # return a silently non-orthonormal V.  Detect the residual
         # defect and fall back to the scan-based Gram-Schmidt selection;
-        # lax.cond executes only the taken branch, so the generic case
-        # (defect ~eps) never pays for the scan.
+        # unbatched, lax.cond executes only the taken branch, so the
+        # generic case (defect ~eps) never pays for the scan (batched
+        # callers hoist this -- see return_defect above).
         gram = cpx.einsum("ji,jk->ik", V.conj(), V)
         eye_n = jnp.eye(n, dtype=V.dtype)
         defect = jnp.max(jnp.abs(gram.re - eye_n)) + jnp.max(jnp.abs(gram.im))
-        V_fast = V
-        V = jax.lax.cond(
-            defect > 1e-3,
-            lambda c: _orthonormal_select(c, n),
-            lambda _c: V_fast,
-            cands)
+        if not return_defect:
+            V_fast = V
+            V = jax.lax.cond(
+                defect > 1e-3,
+                lambda c: _orthonormal_select(c, n),
+                lambda _c: V_fast,
+                cands)
     else:
         V = _orthonormal_select(cands, n)            # [n, n]
     P = cpx.einsum("ij,jk->ik", theta, V)            # theta V = U S
@@ -241,7 +251,36 @@ def _svd_gram_eigh(theta: C, select: str = "fast"):
     inv = jnp.where(S > 1e-30, 1.0 / jnp.maximum(S, 1e-30), 0.0)
     U = C(P.re * inv[None, :], P.im * inv[None, :])
     Vh = V.conj().transpose()
+    if return_defect:
+        return U, S, Vh, defect
     return U, S, Vh
+
+
+def _svd_gram_eigh_batch(theta: C):
+    """Batched fast-selection gram_eigh with the degeneracy fallback
+    hoisted to ONE batch-level cond: the generic case (no >=3-fold
+    exactly-degenerate nonzero cluster anywhere in the batch) runs the
+    fast path only; a detected defect re-runs the WHOLE batch through the
+    scan-based Gram-Schmidt selection (rare: disorder breaks the
+    symmetries that create such clusters).  Under an additional OUTER
+    vmap (ensemble sweeps vmapping whole evolutions) the cond still
+    lowers to select -- unavoidable -- but direct batched calls never pay
+    for the scan in the generic case."""
+    nb = theta.ndim - 2
+    if nb == 0:
+        return _svd_gram_eigh(theta)
+
+    fast = partial(_svd_gram_eigh, return_defect=True)
+    gs = partial(_svd_gram_eigh, select="gs")
+    for _ in range(nb):
+        fast = jax.vmap(fast)
+        gs = jax.vmap(gs)
+    U, S, Vh, defect = fast(theta)
+    return jax.lax.cond(
+        jnp.any(defect > 1e-3),
+        gs,
+        lambda _th: (U, S, Vh),
+        theta)
 
 
 def heigh(G: C, method: str = "auto"):
@@ -268,6 +307,19 @@ def heigh(G: C, method: str = "auto"):
     W = W[:, ::-1]
     cands = C(W[:n, :], W[n:, :])
     V = _select_fast(cands, n)                               # desc eigenvalue
+    # same >=3-fold-degeneracy runtime guard as _svd_gram_eigh: without
+    # it a pathological cluster returns a silently non-orthonormal V,
+    # which propagates into hermitian_invsqrt/cqr_tall (TDVP canonical
+    # form) with no error raised
+    gram = cpx.einsum("ji,jk->ik", V.conj(), V)
+    eye_n = jnp.eye(n, dtype=V.dtype)
+    defect = jnp.max(jnp.abs(gram.re - eye_n)) + jnp.max(jnp.abs(gram.im))
+    V_fast = V
+    V = jax.lax.cond(
+        defect > 1e-3,
+        lambda c: _orthonormal_select(c, n),
+        lambda _c: V_fast,
+        cands)
     V = C(V.re[:, ::-1], V.im[:, ::-1])                      # ascending
     # Rayleigh quotients on the UNperturbed G (exact eigenvalues for exact
     # eigenvectors; removes the perturbation bias)
@@ -354,9 +406,15 @@ def csvd_topk(theta: C, k: int, method: str = "auto",
             for s in theta.shape[:-2]:
                 bsz *= int(s)
             small_batch = bsz <= 64
-            method = ("jacobi" if n % 2 == 0 and
-                      (n >= 256 or (small_batch and m == n and n >= 32))
-                      else "gram_eigh")
+            if m != n:
+                # gram_eigh is square-only; the full Jacobi kernel is the
+                # one TPU path that handles rectangular (and odd-column)
+                # panels
+                method = "jacobi"
+            else:
+                method = ("jacobi" if n % 2 == 0 and
+                          (n >= 256 or (small_batch and n >= 32))
+                          else "gram_eigh")
 
     if method == "jacobi_proj":
         # Chained half-power projected SVD (ops/pallas/jacobi_svd.
@@ -398,13 +456,23 @@ def csvd_topk(theta: C, k: int, method: str = "auto",
         disc = jnp.sum(S[..., k:] ** 2, axis=-1)
         return (S[..., :k], C(Vh.re[..., :k, :], Vh.im[..., :k, :]), disc)
 
+    if method == "gram_eigh":
+        # batch form: degeneracy fallback hoisted to one batch-level cond
+        # (a per-matrix cond under vmap would run the GS scan always)
+        U, S, Vh = _svd_gram_eigh_batch(theta)
+        disc = jnp.sum(S[..., k:] ** 2, axis=-1)
+        return (S[..., :k], C(Vh.re[..., :k, :], Vh.im[..., :k, :]), disc)
+    if method not in ("native", "gram_eigh_gs"):
+        # an unrecognized name must not silently fall through to the
+        # sqrt(eps)-limited Gram path (a typo'd 'native' would corrupt
+        # the 1e-8 parity gates with no error)
+        raise ValueError(f"unknown csvd_topk method: {method}")
+
     def one(th):
         if method == "native":
             U, S, Vh = _svd_native(th)
-        elif method == "gram_eigh_gs":
-            U, S, Vh = _svd_gram_eigh(th, select="gs")
         else:
-            U, S, Vh = _svd_gram_eigh(th)
+            U, S, Vh = _svd_gram_eigh(th, select="gs")
         disc = jnp.sum(S[k:] ** 2)
         return S[:k], C(Vh.re[:k, :], Vh.im[:k, :]), disc
 
@@ -435,7 +503,8 @@ def csvd(theta: C, method: str = "auto"):
     if method == "native":
         fn = _svd_native
     elif method == "gram_eigh":
-        fn = _svd_gram_eigh
+        # batch-hoisted degeneracy fallback (see _svd_gram_eigh_batch)
+        return _svd_gram_eigh_batch(theta)
     elif method == "gram_eigh_gs":
         fn = partial(_svd_gram_eigh, select="gs")
     else:

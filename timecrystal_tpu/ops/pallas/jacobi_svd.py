@@ -239,6 +239,26 @@ def _jacobi_sweep_kernel(n: int):
     return kernel
 
 
+def _flatten_lead(theta: C):
+    """(flattened theta [B, m, n], lead_shape, flattened?) -- the kernels
+    take ONE leading batch dim; callers with several (nested vmap-free
+    batching, e.g. [grid, bonds, m, n]) are flattened here and outputs
+    restored with ``_unflatten_lead``."""
+    lead = theta.re.shape[:-2]
+    if len(lead) <= 1:
+        return theta, lead, False
+    tail = theta.re.shape[-2:]
+    return (C(theta.re.reshape((-1,) + tail), theta.im.reshape((-1,) + tail)),
+            lead, True)
+
+
+def _unflatten_lead(x, lead):
+    if isinstance(x, C):
+        return C(x.re.reshape(lead + x.re.shape[1:]),
+                 x.im.reshape(lead + x.im.shape[1:]))
+    return x.reshape(lead + x.shape[1:])
+
+
 def _pick_block(Bn0: int, per_mat_bytes: int, budget_bytes: int) -> int:
     """Matrices per grid step: largest G within the VMEM budget that
     minimizes padding waste ceil(B/G)*G - B."""
@@ -376,24 +396,37 @@ def _orthogonalize_columns(A: C, max_sweeps: int, tol: float,
     return C(B_re, B_im)
 
 
-def _cols_to_sv(Bm: C, polish: int):
-    """Converged column matrix [B, m, n] (columns = vectors * sigma) ->
-    (S [B, n] descending, Q C[B, m, n] normalized columns).
+def _sigma_sort_floor(A: C, extras=()):
+    """THE shared S-extraction convention for the rotated-column kernels
+    (used by both ``_cols_to_sv`` and ``_usv_from_rotated`` so it cannot
+    drift): column norms -> descending sort (any ``extras`` matrices'
+    columns co-sorted) -> 64*eps*sigma_max resolution floor.
 
-    Resolution floor: sigma below 64*eps*sigma_max is pure rotation noise
-    in this dtype (weight <= (64 eps)^2 ~ 6e-11 in f32); their normalized
-    columns are noise directions that can be mutually near-parallel, which
-    would break the NS polish (sigma_max(V_k) past sqrt(3)).  Zero both.
-    """
-    S = jnp.sqrt(jnp.sum(cpx.abs2(Bm), axis=-2))
+    Sigma below the floor is pure rotation noise in this dtype (weight
+    <= (64 eps)^2 ~ 6e-11 in f32); their normalized columns are noise
+    directions that can be mutually near-parallel, which would break the
+    NS polish (sigma_max past sqrt(3)) -- zero both the sigma and (via
+    the returned inv) the column.  Returns (S, A_sorted, inv, extras)."""
+    S = jnp.sqrt(jnp.sum(cpx.abs2(A), axis=-2))
     order = jnp.argsort(-S, axis=-1)
     S = jnp.take_along_axis(S, order, axis=-1)
-    Bm = C(jnp.take_along_axis(Bm.re, order[:, None, :], axis=-1),
-           jnp.take_along_axis(Bm.im, order[:, None, :], axis=-1))
-    floor = 64.0 * float(jnp.finfo(Bm.dtype).eps)
+    A = C(jnp.take_along_axis(A.re, order[:, None, :], axis=-1),
+          jnp.take_along_axis(A.im, order[:, None, :], axis=-1))
+    extras = tuple(
+        C(jnp.take_along_axis(e.re, order[:, None, :], axis=-1),
+          jnp.take_along_axis(e.im, order[:, None, :], axis=-1))
+        for e in extras)
+    floor = 64.0 * float(jnp.finfo(A.dtype).eps)
     keep = S > floor * S[..., :1]
     S = jnp.where(keep, S, 0.0)
     inv = jnp.where(keep, 1.0 / jnp.maximum(S, 1e-30), 0.0)
+    return S, A, inv, extras
+
+
+def _cols_to_sv(Bm: C, polish: int):
+    """Converged column matrix [B, m, n] (columns = vectors * sigma) ->
+    (S [B, n] descending, Q C[B, m, n] normalized columns)."""
+    S, Bm, inv, _ = _sigma_sort_floor(Bm)
     Q = C(Bm.re * inv[:, None, :], Bm.im * inv[:, None, :])
     if polish:
         Q = _ns_polish(Q, min(polish, Q.re.shape[-1]))
@@ -435,12 +468,15 @@ def jacobi_sv(theta: C, max_sweeps: int | None = None,
     squeeze = theta.ndim == 2
     if squeeze:
         theta = C(theta.re[None], theta.im[None])
+    theta, lead, flat = _flatten_lead(theta)
     Bn0, m, n = theta.re.shape
     assert m == n and n % 2 == 0, "jacobi_sv requires square even-n theta"
     # A = theta^H: orthogonalized columns become V*S
     A = C(jnp.swapaxes(theta.re, -1, -2), -jnp.swapaxes(theta.im, -1, -2))
     Bm = _orthogonalize_columns(A, max_sweeps, tol, interpret)   # = V S
     S, V = _cols_to_sv(Bm, polish)
+    if flat:
+        S, V = _unflatten_lead(S, lead), _unflatten_lead(V, lead)
     if squeeze:
         S, V = S[0], V[0]
     return S, V
@@ -514,6 +550,7 @@ def jacobi_proj(theta: C, k: int, max_sweeps: int | None = None,
     squeeze = theta.ndim == 2
     if squeeze:
         theta = C(theta.re[None], theta.im[None])
+    theta, lead, flat = _flatten_lead(theta)
     Bn0, m, n = theta.re.shape
     assert k % 2 == 0 and k <= min(m, n), "jacobi_proj needs even k <= min(m, n)"
     Q0 = _fixed_projection_basis(n, k, theta.dtype)
@@ -529,6 +566,10 @@ def jacobi_proj(theta: C, k: int, max_sweeps: int | None = None,
         V = _ns_polish(V, min(polish, k), iters=polish_iters)
     disc = jnp.sum(cpx.abs2(theta), axis=(-2, -1)) - jnp.sum(S * S, axis=-1)
     disc = jnp.maximum(disc, 0.0)
+    if flat:
+        S = _unflatten_lead(S, lead)
+        V = _unflatten_lead(V, lead)
+        disc = _unflatten_lead(disc, lead)
     if squeeze:
         S, V, disc = S[0], V[0], disc[0]
     return S, V, disc
@@ -555,6 +596,7 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None,
     squeeze = theta.ndim == 2
     if squeeze:
         theta = C(theta.re[None], theta.im[None])
+    theta, lead, flat = _flatten_lead(theta)
     Bn0, m, n0 = theta.re.shape
     col_pad = n0 % 2
     if col_pad:
@@ -572,7 +614,8 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None,
         if col_pad:
             A_re, A_im = A_re[..., :n0], A_im[..., :n0]
             V_re, V_im = V_re[..., :n0, :n0], V_im[..., :n0, :n0]
-        return _usv_from_rotated(C(A_re, A_im), C(V_re, V_im), squeeze)
+        return _usv_from_rotated(C(A_re, A_im), C(V_re, V_im), squeeze,
+                                 lead, flat)
 
     # matrices per grid step: empirical scoped-VMEM footprint is ~10x the
     # resident arrays (rotation/cycle value temporaries); A is [m, n] re+im
@@ -643,30 +686,24 @@ def jacobi_svd(theta: C, n_sweeps: int | None = None,
         A_re, A_im = A_re[..., :n0], A_im[..., :n0]
         V_re, V_im = V_re[..., :n0, :n0], V_im[..., :n0, :n0]
 
-    return _usv_from_rotated(C(A_re, A_im), C(V_re, V_im), squeeze)
+    return _usv_from_rotated(C(A_re, A_im), C(V_re, V_im), squeeze,
+                             lead, flat)
 
 
-def _usv_from_rotated(A: C, V: C, squeeze: bool):
+def _usv_from_rotated(A: C, V: C, squeeze: bool, lead=(), flat: bool = False):
     """(U, S, Vh) from an orthogonalized-column A and its accumulated
-    rotation V: sort by column norm descending, normalize.  Same
-    64*eps*sigma_max resolution floor as ``_cols_to_sv``: converged
-    zero-columns of a rank-deficient input carry rounding-noise norms
-    ~eps*sigma_max (far above any absolute threshold), and the documented
-    convention is that their sigmas AND U columns are zero, not unit-norm
-    noise directions."""
-    S = jnp.sqrt(jnp.sum(cpx.abs2(A), axis=-2))          # [B, n]
-    order = jnp.argsort(-S, axis=-1)
-    S = jnp.take_along_axis(S, order, axis=-1)
-    A = C(jnp.take_along_axis(A.re, order[:, None, :], axis=-1),
-          jnp.take_along_axis(A.im, order[:, None, :], axis=-1))
-    V = C(jnp.take_along_axis(V.re, order[:, None, :], axis=-1),
-          jnp.take_along_axis(V.im, order[:, None, :], axis=-1))
-    floor = 64.0 * float(jnp.finfo(A.dtype).eps)
-    keep = S > floor * S[..., :1]
-    S = jnp.where(keep, S, 0.0)
-    inv = jnp.where(keep, 1.0 / jnp.maximum(S, 1e-30), 0.0)
+    rotation V: the shared ``_sigma_sort_floor`` convention (V's columns
+    co-sorted), then normalize -- converged zero-columns of a
+    rank-deficient input carry rounding-noise norms ~eps*sigma_max, and
+    the documented convention is that their sigmas AND U columns are
+    zero, not unit-norm noise directions."""
+    S, A, inv, (V,) = _sigma_sort_floor(A, (V,))
     U = C(A.re * inv[:, None, :], A.im * inv[:, None, :])
     Vh = V.conj().transpose(0, 2, 1)
+    if flat:
+        U = _unflatten_lead(U, lead)
+        S = _unflatten_lead(S, lead)
+        Vh = _unflatten_lead(Vh, lead)
     if squeeze:
         U, S, Vh = U[0], S[0], Vh[0]
     return U, S, Vh
