@@ -255,20 +255,40 @@ class TestSiteSharding:
                                        atol=1e-15)
 
     def test_sharded_final_state_matches(self):
+        """BOTH frames: the returned state must be the PHYSICAL final
+        state (merged frame exits via the inverse half-step, exactly like
+        evolve_floquet_scan -- it used to come back frame-shifted)."""
         from timecrystal_tpu.core.mps import MPS, overlap
         from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
         from timecrystal_tpu.ops import cpx
         from timecrystal_tpu.parallel.site_shard import (
             evolve_floquet_sharded, site_mesh)
         psi0, gates, tp = self._setup()
-        (Bf, lamf), _ = evolve_floquet_sharded(psi0, gates, 6, tp,
-                                               site_mesh(8))
-        ref_final, _ = evolve_floquet_scan(psi0, gates, 6, tp)
-        pad = jnp.zeros((1, lamf.shape[1]), lamf.dtype)
-        psi_sh = MPS(B=Bf, lam=jnp.concatenate(
-            [np.asarray(lamf), pad], axis=0))
-        ov = float(cpx.abs2(overlap(ref_final, psi_sh)))
-        np.testing.assert_allclose(ov, 1.0, atol=1e-12)
+        for frame in ("strict", "merged"):
+            (Bf, lamf), tr = evolve_floquet_sharded(psi0, gates, 6, tp,
+                                                    site_mesh(8),
+                                                    frame=frame)
+            ref_final, ref_tr = evolve_floquet_scan(psi0, gates, 6, tp,
+                                                    frame=frame)
+            pad = jnp.zeros((1, lamf.shape[1]), lamf.dtype)
+            psi_sh = MPS(B=Bf, lam=jnp.concatenate(
+                [np.asarray(lamf), pad], axis=0))
+            ov = float(cpx.abs2(overlap(ref_final, psi_sh)))
+            np.testing.assert_allclose(ov, 1.0, atol=1e-12, err_msg=frame)
+            # frame-entry/exit truncation surfaced like the unsharded path
+            assert "trunc_err_boundary" in tr
+            np.testing.assert_allclose(
+                float(tr["trunc_err_boundary"]),
+                float(np.asarray(ref_tr["trunc_err_boundary"])), atol=1e-13)
+
+    def test_rejects_unknown_frame(self):
+        from timecrystal_tpu.parallel.site_shard import (
+            evolve_floquet_sharded, site_mesh)
+        import pytest
+        psi0, gates, tp = self._setup()
+        with pytest.raises(ValueError, match="unknown frame"):
+            evolve_floquet_sharded(psi0, gates, 2, tp, site_mesh(8),
+                                   frame="Merged")
 
     def test_rejects_periodic_bc(self):
         """A periodic gate set must be rejected, not silently evolved as

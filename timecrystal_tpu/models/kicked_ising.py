@@ -40,6 +40,22 @@ from ..core.truncate import TruncParams, apply_bond_gates
 from ..ops.cpx import C
 
 
+def _tp_from(trunc_params: dict | TruncParams | None) -> TruncParams:
+    """TruncParams from the reference-parity argument forms.  A PARTIAL
+    dict keeps the documented reference defaults for missing keys
+    (chi_max=100, trunc_cut=1e-10) -- raw from_dict would map a missing
+    chi_max to 0 = uncapped, silently different physics (same guard as
+    dynamics.tebd.CustomFloquet.__init__)."""
+    if isinstance(trunc_params, TruncParams):
+        return trunc_params
+    if trunc_params is None:
+        return TruncParams(chi_max=100, svd_min=1e-12, trunc_cut=1e-10)
+    d = dict(trunc_params)
+    d.setdefault("chi_max", 100)
+    d.setdefault("trunc_cut", 1e-10)
+    return TruncParams.from_dict(d)
+
+
 class FloquetGates(NamedTuple):
     """Precomputed per-period gate set (pytree; vmap-able over disorder)."""
 
@@ -264,9 +280,7 @@ class KickedIsingModel:
         its even/odd loop, kicked_ising.py:92-98, but its call crashes);
         ``floquet_period`` routes it from ``gates.boundary_gate``, so the
         fused scan drivers evolve the same physics as this step-wise path."""
-        tp = trunc_params if isinstance(trunc_params, TruncParams) \
-            else TruncParams.from_dict(trunc_params)
-        psi_new, _ = floquet_period(psi, self.gates, tp)
+        psi_new, _ = floquet_period(psi, self.gates, _tp_from(trunc_params))
         return psi_new
 
     def evolve(self, psi_initial: MPS, n_steps: int,
@@ -275,8 +289,7 @@ class KickedIsingModel:
         kicked_ising.py:210-239.  The states list is materialized on host for
         API parity -- use dynamics.tebd.CustomFloquet for the fused in-scan
         observable path that avoids O(n_steps) state copies."""
-        tp = trunc_params if isinstance(trunc_params, TruncParams) \
-            else TruncParams.from_dict(trunc_params)
+        tp = _tp_from(trunc_params)
         states = [psi_initial]
         times = [0.0]
         psi = psi_initial
@@ -307,11 +320,20 @@ class KickedIsingModel:
             ising_gates.append(np.asarray(G.expm_two_site(
                 G.two_site_hamiltonian(self.J, self.h_fields[-1], self.h_fields[0]),
                 self.tau / 2.0)))
+        # theta != pi models kick with exp(-i theta/2 sigma_x), not the
+        # exact -i sigma_x: report the gate actually applied (host numpy,
+        # f64 regardless of the session's x64 flag)
+        if abs(self.theta - np.pi) < 1e-15:
+            pulse = np.asarray(-1j * G.SIGMA_X)
+        else:
+            th = float(self.theta)
+            pulse = (np.cos(th / 2) * np.eye(2)
+                     - 1j * np.sin(th / 2) * np.asarray(G.SIGMA_X))
         return {
             "J": self.J,
             "h_fields": self.h_fields,
             "tau": self.tau,
-            "pi_pulse": np.asarray(-1j * G.SIGMA_X),
+            "pi_pulse": pulse,
             "ising_gates": ising_gates,
         }
 
@@ -325,6 +347,13 @@ class KickedIsingModel:
         flo = CustomFloquet(self, trunc_params)
         traces, times, info = flo.evolve_floquet_traces(psi_initial, n_steps)
         drive_period = 2 * self.tau
+        # reference parity, bins included: the reference feeds the PHYSICAL
+        # drive period into subharmonic_response, whose fftfreq uses UNIT
+        # (per-sample) spacing (reference kicked_ising.py:288-289 +
+        # observables.py:124-150), so for tau != 0.5 the 'fundamental' and
+        # 'subharmonic' bins land off the true per-sample frequencies (1.0
+        # and 0.5).  Kept bit-faithful; the detection pipeline
+        # (analysis.detection) uses the correctly-binned A2T recipe instead.
         fund_amp, subharm_amp = obs.subharmonic_response(traces["magnetization"], drive_period)
         sz_final = traces["sz_sites"][-1]
         mag_a = np.mean(sz_final[0::2])

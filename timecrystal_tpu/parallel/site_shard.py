@@ -125,10 +125,13 @@ def _kick(B: C, kick: C) -> C:
 
 
 def _sz_local(B: C, lam: jax.Array, sz_op: C) -> jax.Array:
-    w = lam ** 2
-    T = cpx.einsum("pq,laqb->lapb", sz_op, B)
-    T2 = cpx.einsum("lapb,lapb->la", B.conj(), T)
-    return cpx.einsum("la,la->l", T2, w).re
+    """Per-site <op> on the local block: B-form with left environment
+    diag(lam_i^2) -- the same contraction as core/mps.expectation_one_site
+    (reused so the algebra exists once; the dummy last lam row added by
+    _local_mps is never read)."""
+    from ..core.mps import expectation_one_site
+
+    return expectation_one_site(_local_mps(B, lam), sz_op).re
 
 
 def _overlap_relay(B1: C, B2: C, n_dev: int) -> C:
@@ -184,6 +187,9 @@ def evolve_floquet_sharded(psi0: MPS, gates: FloquetGates, n_periods: int,
     if L % n_dev != 0 or (L // n_dev) % 2 != 0:
         raise ValueError(f"L={L} must split into even-length blocks over "
                          f"{n_dev} devices")
+    if frame not in ("strict", "merged"):
+        raise ValueError(f"unknown frame: {frame!r} (use 'strict' or "
+                         "'merged')")
     sz_op = G.pauli_c("z", psi0.dtype)
     # gates padded to one row per SITE so the block split aligns rows with
     # local bonds; the global last row is an identity (never applied: the
@@ -197,7 +203,7 @@ def evolve_floquet_sharded(psi0: MPS, gates: FloquetGates, n_periods: int,
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
-             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(None, AXIS), P()),
+             out_specs=(P(AXIS), P(AXIS), P(AXIS), P(None, AXIS), P(), P()),
              check_vma=False)
     def run(B_re, B_im, lam, g_re, g_im, k_re, k_im):
         B = C(B_re, B_im)
@@ -205,11 +211,12 @@ def evolve_floquet_sharded(psi0: MPS, gates: FloquetGates, n_periods: int,
         kick = C(k_re, k_im)
         g_sq = _square_diagonal_gates(g)
         B0 = B  # local block of the reference state
+        e_bnd = jnp.zeros((), lam.dtype)
 
         if merged:
             # enter the half-step frame (phi = H psi) -- also for the ref
-            B, lam, _ = _sweep(B, lam, g, 0, tp, n_dev)
-            B, lam, _ = _sweep(B, lam, g, 1, tp, n_dev)
+            B, lam, e = _sweep(B, lam, g, 0, tp, n_dev); e_bnd += e
+            B, lam, e = _sweep(B, lam, g, 1, tp, n_dev); e_bnd += e
             B0 = B
 
         def period_fn(carry, _):
@@ -232,14 +239,23 @@ def evolve_floquet_sharded(psi0: MPS, gates: FloquetGates, n_periods: int,
 
         (B, lam), tr = jax.lax.scan(period_fn, (B, lam), None,
                                     length=n_periods)
+        if merged:
+            # exit the half-step frame: H^{-1} = H^dagger = the conjugated
+            # diagonal gates (kicked_ising.ising_half_step_inverse), so the
+            # RETURNED state is physical -- exactly as evolve_floquet_scan
+            g_inv = C(g.re, -g.im)
+            B, lam, e = _sweep(B, lam, g_inv, 0, tp, n_dev); e_bnd += e
+            B, lam, e = _sweep(B, lam, g_inv, 1, tp, n_dev); e_bnd += e
         # traces: sz shards over sites (axis 1 after scan stacking); le and
-        # trunc_err are replicated scalars per period
+        # trunc_err are replicated scalars per period; e_bnd is the
+        # frame-entry/exit truncation (zero in the strict frame)
         return (B.re, B.im, lam, tr["sz_sites"],
-                jnp.stack([tr["loschmidt_echo"], tr["trunc_err"]], axis=-1))
+                jnp.stack([tr["loschmidt_echo"], tr["trunc_err"]], axis=-1),
+                jax.lax.psum(e_bnd, AXIS))
 
-    B_re, B_im, lam, sz, le_err = run(
+    B_re, B_im, lam, sz, le_err, e_bnd = run(
         psi0.B.re, psi0.B.im, psi0.lam[:-1],
         bond_re, bond_im, gates.kick.re, gates.kick.im)
     traces = dict(sz_sites=sz, loschmidt_echo=le_err[..., 0],
-                  trunc_err=le_err[..., 1])
+                  trunc_err=le_err[..., 1], trunc_err_boundary=e_bnd)
     return (C(B_re, B_im), lam), traces
