@@ -54,7 +54,13 @@ def stringent_dtc_detection(loschmidt_echoes, times, period: float,
         return 0.0
     period_doubling_score = max(0.0, ac)
 
-    # -- criterion 2: spectral subharmonic dominance on late-time data
+    # -- criterion 2: spectral subharmonic dominance on late-time data.
+    # Reference-parity note (bins included): with the stroboscopic
+    # once-per-drive-period sampling the phase sweep produces
+    # (dt == period), 1/(2*period) and 1/period BOTH land on the top
+    # positive bin, so ratio == 1 identically and this criterion reduces
+    # to min(1, 5*purity) -- exactly as in the reference
+    # (main.py:182-231, same sampling); kept bit-faithful.
     spectral_score = 0.0
     late = le[len(le) // 4:]
     if len(late) >= 10:

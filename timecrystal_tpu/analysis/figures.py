@@ -151,6 +151,13 @@ def _render_two_panel(key: str, times, series_top: List[Tuple],
                     facecolor="white")
     else:
         ax_t.legend(frameon=False, loc="lower right", ncol=1)
+    # Figure-output parity: the reference crops absolute time to [0, 100]
+    # (= the first 25 of 200 periods at 2*tau = 4/J) under an axis label
+    # that says "Floquet periods", and draws the spectrum on a [0, 2]
+    # omega/omega_drive axis although stroboscopic once-per-period
+    # sampling tops out at 0.5 (the omega marker points past the data)
+    # -- reference main.py:1020-1100.  Kept identical: the figure files
+    # ARE the deliverable.
     ax_t.set_xlim(0, 100)
     ax_t.set_ylim(-1.2, 1.2)
 
@@ -207,14 +214,19 @@ def generate_individual_figures(params: Dict, out_dir: str = "figures",
     print("  Generating Figure D...")
     freqs_ref = None
     avg_power = None
+    n_acc = 0
     for mags in site_mags:
         f, p = calculate_fourier_spectrum(np.asarray(times_d),
                                           np.asarray(mags), drive_period)
         if avg_power is None:
             freqs_ref, avg_power = f, p.copy()
+            n_acc = 1
         elif len(p) == len(avg_power):
             avg_power += p
-    avg_power /= len(site_mags)
+            n_acc += 1
+    # divide by the traces actually accumulated (equal-length in every
+    # shipped path; a ragged caller must not silently bias the average low)
+    avg_power /= n_acc
     series = [(f"Site {s}", m, c, "-", 1.5)
               for s, m, c in zip(FIGURE_SITES, site_mags, _SITE_COLORS)]
     _render_two_panel("D", times_d, series, freqs_ref, avg_power, out_dir,

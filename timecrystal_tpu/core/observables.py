@@ -57,6 +57,21 @@ def calculate_magnetization(psi: MPS, direction: str = "z"):
     return magnetization(psi, direction)
 
 
+def add_derived_magnetization(traces: dict, L: int) -> dict:
+    """In place: derive ``magnetization`` (UNnormalized site sum) and
+    ``staggered_magnetization`` ((1/L)-normalized alternating sum,
+    reference observables.py:350-369) from ``sz_sites [..., L]``.
+
+    THE single host-side home of the sign/normalization convention --
+    every trace-assembling driver (tebd, sweep, open_system) derives
+    through here so the convention cannot drift between paths."""
+    sz = np.asarray(traces["sz_sites"])
+    signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
+    traces["magnetization"] = sz.sum(axis=-1)
+    traces["staggered_magnetization"] = (sz * signs).sum(axis=-1) / L
+    return traces
+
+
 def staggered_signs(L: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(np.where(np.arange(L) % 2 == 0, 1.0, -1.0), dtype=dtype)
 

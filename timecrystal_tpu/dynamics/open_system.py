@@ -84,11 +84,10 @@ def _evolve_stochastic_scan(psi0: MPS, gates, key, gamma_dt: float,
 
 def _add_derived_traces(traces: Dict, L: int) -> None:
     """Derive magnetization/staggered from sz_sites in place (shared by
-    the single-trajectory and ensemble paths)."""
-    traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
-    signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
-    traces["staggered_magnetization"] = \
-        (traces["sz_sites"] * signs).sum(-1) / L
+    the single-trajectory and ensemble paths; one convention home)."""
+    from ..core.observables import add_derived_magnetization
+
+    add_derived_magnetization(traces, L)
 
 
 class OpenSystemEvolution:

@@ -489,12 +489,14 @@ class TDVPEvolution:
         chis = [int(np.max(np.asarray(bond_dimensions(psi_initial))[1:-1],
                            initial=1))]
         ents = [np.asarray(entanglement_entropy(psi_initial))]
-        terr = 0.0
+        terr = jnp.zeros(())
         psi = psi_initial
         start = time.time()
         for k in range(n_steps):
             psi, err = self.step(psi)
-            terr += float(err)
+            # accumulate ON DEVICE: float(err) here would block the host
+            # on every step and serialize dispatch (fetched once below)
+            terr = terr + err
             if k % observe_every == 0:
                 # host materialization (see KickedIsingModel.evolve):
                 # device-resident history accumulates O(n_steps) HBM
@@ -507,7 +509,7 @@ class TDVPEvolution:
             "wall_time": time.time() - start,
             "bond_dimensions": chis,
             "entanglement_entropies": ents,
-            "truncation_errors": terr,
+            "truncation_errors": float(terr),
             "algorithm": f"TDVP ({self.tdvp_type})",
             "max_chi_reached": max(chis),
             "n_steps": n_steps,

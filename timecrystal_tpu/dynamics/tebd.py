@@ -205,10 +205,9 @@ class CustomFloquet:
         for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi", "trunc_err"):
             full = np.asarray(tr[k])[sel]
             traces[k] = np.concatenate([np.asarray(init[k])[None], full], axis=0)
-        traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
-        L = psi_initial.L
-        signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
-        traces["staggered_magnetization"] = (traces["sz_sites"] * signs).sum(axis=-1) / L
+        from ..core.observables import add_derived_magnetization
+
+        add_derived_magnetization(traces, psi_initial.L)
 
         times = [0.0] + [(int(p) + 1) * 2 * self.model.tau for p in periods]
         bond_dims = [int(x) for x in traces["max_chi"]]
@@ -571,11 +570,9 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
               "trunc_err"):
         traces[k] = np.concatenate([np.asarray(init[k])[None],
                                     tr_all[k][sel]], axis=0)
-    traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
-    L = model.n_sites
-    signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
-    traces["staggered_magnetization"] = \
-        (traces["sz_sites"] * signs).sum(axis=-1) / L
+    from ..core.observables import add_derived_magnetization
+
+    add_derived_magnetization(traces, model.n_sites)
     times = [0.0] + [(int(p) + 1) * 2 * model.tau for p in sel]
     bond_dims = [int(x) for x in traces["max_chi"]]
     info = {

@@ -457,10 +457,9 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
             [np.zeros((R, 1), cat["trunc_err"].dtype), cat["trunc_err"]],
             axis=1),
     }
-    traces["magnetization"] = traces["sz_sites"].sum(axis=-1)
-    signs = np.where(np.arange(L) % 2 == 0, 1.0, -1.0)
-    traces["staggered_magnetization"] = \
-        (traces["sz_sites"] * signs[None, None, :]).sum(axis=-1) / L
+    from ..core.observables import add_derived_magnetization
+
+    add_derived_magnetization(traces, L)
     if R_out != R:                        # drop mesh-padding duplicates
         traces = {k: v[:R_out] for k, v in traces.items()}
     info = {
