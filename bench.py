@@ -68,13 +68,6 @@ BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 BASELINE_KEY = "L40_chi256_theta0.9pi_steady"
 
 
-def _model_kwargs() -> dict:
-    cfg = CONFIG
-    return dict(n_sites=cfg["L"], J=1.0, h_disorder=cfg["h"],
-                tau=cfg["tau"], disorder_seed=cfg["seed"],
-                theta=cfg["theta_frac"] * np.pi)
-
-
 def run_ensemble_window(R: int, n_periods: int) -> float:
     """Chi-staged vmapped ensemble: R disorder realizations, n periods from
     t=0, one shared chi schedule.  Returns aggregate chain-periods/s."""
@@ -113,7 +106,7 @@ def _steady_state():
     fine here (staging would only speed the unmeasured transient)."""
     import jax.numpy as jnp
 
-    from timecrystal_tpu.core.mps import create_initial_state, pad_mps
+    from timecrystal_tpu.core.mps import create_initial_state
     from timecrystal_tpu.core.truncate import TruncParams
     from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
     from timecrystal_tpu.models.kicked_ising import (draw_disorder_reference,

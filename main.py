@@ -20,6 +20,7 @@ double loop; Figure D plots true per-site <sigma_z_i(t)> (use
 from __future__ import annotations
 
 import argparse
+import sys
 import time
 
 
@@ -34,10 +35,11 @@ Examples:
   python main.py --figures-only     # Generate only figures A-D
         """,
     )
-    parser.add_argument("--phase-only", action="store_true",
-                        help="Generate only the phase diagram")
-    parser.add_argument("--figures-only", action="store_true",
-                        help="Generate only the individual figures A-D")
+    mode = parser.add_mutually_exclusive_group()
+    mode.add_argument("--phase-only", action="store_true",
+                      help="Generate only the phase diagram")
+    mode.add_argument("--figures-only", action="store_true",
+                      help="Generate only the individual figures A-D")
     parser.add_argument("--config", type=str, default=None,
                         help="Path to configuration file (default: auto-detect)")
     parser.add_argument("--synthetic-multisite", action="store_true",
@@ -142,6 +144,9 @@ def main() -> None:
         print(f"Error generating figures: {exc}")
         import traceback
         traceback.print_exc()
+        print(f"\nTotal execution time: {time.time() - start:.1f} seconds")
+        # a failed run must not exit 0 (CI/scripts gate on the status)
+        sys.exit(1)
 
     print(f"\nTotal execution time: {time.time() - start:.1f} seconds")
 

@@ -39,9 +39,17 @@ class TestConfigParser:
         assert p["CUTOFF"] == 1e-7
         assert p["EMPTY_LIST"] == []
 
-    def test_missing_file_returns_empty(self, tmp_path, monkeypatch):
+    def test_missing_file_behavior(self, tmp_path, monkeypatch):
+        import pytest
+
         monkeypatch.chdir(tmp_path)
-        assert read_parameters("nope.txt") == {}
+        # no file anywhere and NO explicit path: {} with a warning
+        # (reference main.py:75-77 behavior)
+        assert read_parameters(None) == {}
+        # an EXPLICIT path that does not exist must raise, never silently
+        # fall back to ./config.txt (wrong-physics hazard)
+        with pytest.raises(FileNotFoundError, match="nope.txt"):
+            read_parameters("nope.txt")
 
     def test_repo_config_loads(self):
         p = read_parameters(os.path.join(os.path.dirname(__file__), "..",

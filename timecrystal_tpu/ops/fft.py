@@ -29,9 +29,11 @@ import numpy as np
 
 
 @functools.lru_cache(maxsize=64)
-def _dft_matrices_cached(n: int, dtype_name: str):
+def _dft_matrices_cached(n: int, dtype_name: str, k_lo: int = 0,
+                         k_hi: int | None = None):
     j = np.arange(n)[:, None].astype(np.float64)
-    k = np.arange(n)[None, :].astype(np.float64)
+    k = np.arange(n)[None, :].astype(np.float64)[:, k_lo:(k_hi if k_hi
+                                                          is not None else n)]
     ang = 2.0 * np.pi * np.mod(j * k / n, 1.0)
     return (jnp.asarray(np.cos(ang), dtype_name),
             jnp.asarray(np.sin(ang), dtype_name))
@@ -68,13 +70,19 @@ def _subharm_core(series: jax.Array, dt: jax.Array, period: jax.Array):
     n = series.shape[-1]
     centered = series - jnp.mean(series, axis=-1, keepdims=True)
     window = jnp.asarray(np.hanning(n), series.dtype)
-    re, im = rdft(centered * window, axis=-1)
-    power = jnp.sqrt(re * re + im * im)                   # |FFT| amplitudes
-    # positive-frequency bins of np.fft.fftfreq(n, d=dt): indices 1..(n-1)//2
+    # only the positive-frequency bins of np.fft.fftfreq(n, d=dt) --
+    # indices 1..(n-1)//2 -- are consumed, so the DFT panels are SLICED to
+    # those columns: half the matmul flops and half the baked-constant
+    # footprint of the full rdft
     n_pos = (n - 1) // 2
+    cos_m, sin_m = _dft_matrices_cached(int(n), jnp.dtype(series.dtype).name,
+                                        1, n_pos + 1)
+    xw = centered * window
+    re = jnp.einsum("...j,jk->...k", xw, cos_m, precision="highest")
+    im = -jnp.einsum("...j,jk->...k", xw, sin_m, precision="highest")
+    amp_pos = jnp.sqrt(re * re + im * im)                 # |FFT| amplitudes
     idx = jnp.arange(1, n_pos + 1)
     freqs_pos = idx.astype(series.dtype) / (n * dt[..., None])  # [..., n_pos]
-    amp_pos = power[..., 1:n_pos + 1]
     sub_f = (1.0 / period) / 2.0
     sub_idx = jnp.argmin(jnp.abs(freqs_pos - sub_f[..., None]), axis=-1)
     amp = jnp.take_along_axis(amp_pos, sub_idx[..., None], axis=-1)[..., 0]
@@ -115,6 +123,9 @@ def batched_subharmonic_amplitude(times: jax.Array, series: jax.Array,
     # poisons the DFT and used to fall out as a silent 0.0 -- a false
     # 'no time crystal'.  Return NaN instead so the divergence is VISIBLE;
     # callers needing the host semantics (ensemble_a2t) recompute those
-    # realizations host-side.
-    finite = jnp.all(jnp.isfinite(series), axis=-1)
+    # realizations host-side.  The guard covers the TIME grid too: a
+    # non-finite time or dt <= 0 (duplicate timestamps) would otherwise
+    # make the all-NaN/inf bin argmin return an arbitrary plausible bin.
+    finite = (jnp.all(jnp.isfinite(series), axis=-1)
+              & jnp.isfinite(dt) & (dt > 0))
     return jnp.where(finite, out, jnp.nan)

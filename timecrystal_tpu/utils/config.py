@@ -56,8 +56,15 @@ def read_parameters(filename: Optional[str] = None) -> Dict:
     """Parse a parameter file; auto-detects ./config.txt when no path given.
 
     Returns {} (with a warning) when no file is found, matching the
-    reference's behavior (main.py:75-77).
+    reference's behavior (main.py:75-77).  An EXPLICITLY passed filename
+    that does not exist raises instead of silently falling back to
+    ./config.txt (a typo'd --config must not run hours of sweep with the
+    wrong parameters).
     """
+    if filename and not os.path.exists(filename):
+        raise FileNotFoundError(
+            f"parameters file not found: {filename!r} (refusing to fall "
+            "back to ./config.txt for an explicitly requested path)")
     candidates = ([filename] if filename else []) + ["config.txt"]
     path = next((p for p in candidates if p and os.path.exists(p)), None)
     if path is None:

@@ -3,8 +3,9 @@
 The reference's observability is wall-clock time.time() spans reported
 through the info-dict (tebd_evolution.py:237-257) -- that contract is kept
 by the dynamics drivers.  This module adds the structured TPU equivalents
-(SURVEY.md section 5): jax.profiler traces and block_until_ready-fenced
-phase timers.
+(SURVEY.md section 5): jax.profiler traces and fetch-fenced phase timers
+(device_get, because block_until_ready is a no-op through the axon TPU
+tunnel).
 """
 
 from __future__ import annotations
@@ -45,7 +46,10 @@ class PhaseTimer:
 
     @staticmethod
     def fence(x):
-        jax.block_until_ready(x)
+        # fetch-sync, not block_until_ready: the latter is a no-op through
+        # the axon TPU tunnel (see timed_blocked), which would end spans
+        # at dispatch time
+        jax.device_get(x)
 
     def report(self) -> Dict[str, float]:
         return dict(self.spans)
@@ -70,9 +74,15 @@ def device_trace(log_dir: str | None):
 
 
 def timed_blocked(fn, *args, **kwargs):
-    """(result, seconds) with block_until_ready fencing -- the measurement
-    primitive every benchmark in this repo uses."""
+    """(result, seconds) with a FETCH fence: the result's leaves are pulled
+    to host (jax.device_get) before the clock stops.
+
+    block_until_ready is NOT used: through the axon TPU tunnel it is a
+    no-op (bench.py and dynamics/tdvp.py document the same), so a
+    block-based timer measures async dispatch, not compute.  The fetch is
+    the only sync that works on every backend; keep timed results small
+    (observables/scalars), not full states, or the transfer pollutes the
+    measurement."""
     t0 = time.time()
-    out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    out = jax.device_get(fn(*args, **kwargs))
     return out, time.time() - t0
