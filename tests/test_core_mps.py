@@ -344,3 +344,42 @@ class TestBatchedSingleBondConsistency:
         np.testing.assert_allclose(np.asarray(batched.B.im),
                                    np.asarray(single.B.im), atol=1e-13)
         np.testing.assert_allclose(float(err_b), float(err_s), atol=1e-15)
+
+
+class TestZZCorrelationProfile:
+    def test_matches_pairwise_and_dense(self):
+        """zz_correlation_profile == per-pair correlation_function == the
+        dense statevector oracle, at every anchor position class (edge,
+        bulk, far edge), on a genuinely entangled state."""
+        from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+
+        L, chi = 8, 16
+        hf = draw_disorder_reference(L, 0.3, 42)
+        gates = make_floquet_gates(1.0, jnp.asarray(hf, DTYPE), 0.9,
+                                   theta=0.92 * np.pi, dtype=DTYPE)
+        psi0 = M.create_initial_state(L, "neel", chi=chi, dtype=DTYPE)
+        psi, _ = evolve_floquet_scan(psi0, gates, 5,
+                                     TruncParams(chi_max=0, svd_min=1e-14))
+        v = np.asarray(M.to_statevector(psi))
+        sz = np.diag([1.0, -1.0])
+
+        def dense_zz(i, j):
+            op = np.ones((1, 1))
+            for k in range(L):
+                op = np.kron(op, sz if k in (i, j) else np.eye(2))
+            return float(np.real(v.conj() @ (op @ v)))
+
+        for i in (0, 3, L - 1):
+            prof = np.asarray(obs.zz_correlation_profile(psi, i))
+            pair = np.array([1.0 if j == i else
+                             float(obs.correlation_function(
+                                 psi, "z", "z", i, j).re)
+                             for j in range(L)])
+            np.testing.assert_allclose(prof, pair, atol=1e-13)
+            dense = np.array([dense_zz(i, j) if j != i
+                              else float(np.real(v.conj() @ v))
+                              for j in range(L)])
+            np.testing.assert_allclose(prof, dense, atol=1e-12)

@@ -391,3 +391,44 @@ class TestAutoDriverEdges:
         _, _, info = eng.evolve(psi0, total_time=0.2)
         assert isinstance(info["final_bond_dim"], int)
         assert info["final_bond_dim"] >= 1
+
+
+class TestCorrelationTraces:
+    def test_in_scan_zz_corr_matches_states_and_frames(self):
+        """correlation_site traces: (a) equal to post-hoc per-state
+        computation on the materialized-states path, (b) identical between
+        strict and merged frames (z-diagonal observables are frame-exact),
+        (c) present in the CustomFloquet trace contract with the t=0 row."""
+        import jax.numpy as jnp
+
+        from timecrystal_tpu.core import observables as obs
+        from timecrystal_tpu.dynamics.tebd import (CustomFloquet,
+                                                   evolve_floquet_scan)
+        from timecrystal_tpu.models.kicked_ising import KickedIsingModel
+
+        L, chi, n, site = 8, 16, 6, 3
+        m = KickedIsingModel(n_sites=L, J=1.0, h_disorder=0.3, tau=0.9,
+                             disorder_seed=11, theta=0.93 * np.pi, chi=chi,
+                             dtype=DTYPE)
+        tp = TruncParams(chi_max=0, svd_min=1e-14)
+        psi0 = create_initial_state(L, "neel", chi=chi, dtype=DTYPE)
+
+        traces, times, _ = CustomFloquet(m, tp).evolve_floquet_traces(
+            psi0, n, correlation_site=site)
+        assert traces["zz_corr"].shape == (n + 1, L)
+        # t=0 row: Neel product state -> zz = +-1 exactly
+        np.testing.assert_allclose(traces["zz_corr"][0],
+                                   [(-1.0) ** (abs(j - site) % 2)
+                                    for j in range(L)], atol=1e-14)
+
+        # (a) against the state-history path
+        states, _, _ = CustomFloquet(m, tp).evolve_floquet(psi0, n)
+        for t, psi_t in enumerate(states):
+            ref = np.asarray(obs.zz_correlation_profile(psi_t, site))
+            np.testing.assert_allclose(traces["zz_corr"][t], ref, atol=1e-12)
+
+        # (b) merged frame identical
+        _, tr_m = evolve_floquet_scan(psi0, m.gates, n, tp, frame="merged",
+                                      correlation_site=site)
+        np.testing.assert_allclose(np.asarray(tr_m["zz_corr"]),
+                                   traces["zz_corr"][1:], atol=1e-12)

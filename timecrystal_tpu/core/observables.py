@@ -110,6 +110,60 @@ def correlation_function(psi: MPS, op1: str, op2: str, i: int, j: int) -> C:
     return cpx.einsum("apc,apc->", Bj.conj(), T)
 
 
+def zz_correlation_profile(psi: MPS, i: int) -> jax.Array:
+    """<sigma^z_i sigma^z_j> for ALL j in two transfer scans: [L] real.
+
+    The reference computes correlators per (i, j) pair from materialized
+    state histories (observables.py:74-121 applied per stored state); this
+    is the TPU-native form: with z diagonal and the MPS right-canonical,
+    the whole profile from one anchor site costs one forward and one
+    backward O(L chi^3) lax.scan -- cheap enough to run IN-SCAN per
+    measurement (dynamics.tebd.evolve_floquet_scan(correlation_site=i)),
+    yielding C(r, t) maps with no state materialization.
+
+    Entry j == i is <z_i z_i> = <I> = 1 exactly.  ``i`` is static.
+    """
+    L, chi, d, _ = psi.B.re.shape
+    z = G.pauli_c("z", psi.dtype)
+    zdiag = z.re.diagonal()                       # z is diagonal real
+    w_i = psi.lam[i] ** 2
+
+    Bi = psi.B[i]
+    # E[a, b]: sites <= i contracted with z inserted at i (left env
+    # diag(lam_i^2); right of the insertion stays open)
+    Tz = Bi * zdiag[None, :, None]
+    E0 = cpx.einsum("apb,apc->bc", Bi.conj(), Tz * w_i[:, None, None])
+
+    def fwd(E, Bj):
+        # readout BEFORE absorbing: right-canonicity collapses sites > j
+        Tj = Bj * zdiag[None, :, None]
+        T = cpx.einsum("bc,cpa->bpa", E, Tj)
+        corr = cpx.einsum("bpa,bpa->", Bj.conj(), T).re
+        T = cpx.einsum("ab,bpc->apc", E, Bj)
+        E = cpx.einsum("apb,apc->bc", Bj.conj(), T)
+        return E, corr
+
+    _, corr_fwd = jax.lax.scan(fwd, E0, psi.B[i + 1:])      # j = i+1 .. L-1
+
+    # F[c, c']: sites >= i contracted with z inserted at i (right-collapsed)
+    F0 = cpx.einsum("apc,bpc->ab", Tz, Bi.conj())
+
+    def bwd(F, xs):
+        Bj, wj = xs
+        Tj = Bj * zdiag[None, :, None]
+        T = cpx.einsum("apc,cd->apd", Tj * wj[:, None, None], F)
+        corr = cpx.einsum("apd,apd->", T, Bj.conj()).re
+        T = cpx.einsum("apc,cd->apd", Bj, F)
+        F = cpx.einsum("apd,bpd->ab", T, Bj.conj())
+        return F, corr
+
+    _, corr_bwd = jax.lax.scan(bwd, F0, (psi.B[:i][::-1],
+                                         (psi.lam[:i] ** 2)[::-1]))
+    out = jnp.concatenate([corr_bwd[::-1], jnp.ones((1,), corr_bwd.dtype),
+                           corr_fwd])
+    return out
+
+
 def order_parameter(psi: MPS, sublattice_a, sublattice_b) -> jax.Array:
     """|<S_A> - <S_B>| over z-magnetization sublattice means
     (reference observables.py:280-296)."""

@@ -34,12 +34,20 @@ from ..ops.cpx import C
 
 
 @partial(jax.jit, static_argnames=("n_periods", "tp", "with_states", "frame",
-                                   "measure_every", "measure_phase"))
+                                   "measure_every", "measure_phase",
+                                   "correlation_site"))
 def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
                         tp: TruncParams, with_states: bool = False,
                         frame: str = "strict", ref_state: MPS | None = None,
-                        measure_every: int = 1, measure_phase: int = -1):
+                        measure_every: int = 1, measure_phase: int = -1,
+                        correlation_site: int | None = None):
     """Scan U_F^n with in-scan observables.
+
+    ``correlation_site=i`` adds a ``zz_corr [n_meas, L]`` trace: the full
+    <sigma^z_i sigma^z_j> profile per measurement (core/observables.
+    zz_correlation_profile -- two transfer scans, no state history; the
+    reference needs materialized states for this).  Exact in BOTH frames:
+    the merged frame's H is z-diagonal and commutes with every sigma^z.
 
     Returns (final MPS, traces) where traces hold per-measurement arrays
     *excluding* the initial state (prepended host-side): sz_sites
@@ -103,6 +111,11 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
                     out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
                                max_chi=max_bond_dimension(phi),
                                trunc_err=e)
+                    if correlation_site is not None:
+                        from ..core.observables import zz_correlation_profile
+
+                        out["zz_corr"] = zz_correlation_profile(
+                            phi, correlation_site)
             return phi, out
 
         phi_final, traces = jax.lax.scan(block_fn, phi0, None,
@@ -127,6 +140,11 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
                 out = dict(sz_sites=sz, loschmidt_echo=le, entropies=ent,
                            max_chi=max_bond_dimension(psi),
                            trunc_err=e)
+                if correlation_site is not None:
+                    from ..core.observables import zz_correlation_profile
+
+                    out["zz_corr"] = zz_correlation_profile(
+                        psi, correlation_site)
                 if with_states:
                     out["states"] = psi
         return psi, out
@@ -138,15 +156,20 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
     return psi_final, traces
 
 
-def _initial_observables(psi0: MPS) -> dict:
+def _initial_observables(psi0: MPS, correlation_site: int | None = None) -> dict:
+    from ..core.observables import zz_correlation_profile
+
     sz_op = G.pauli_c("z", psi0.dtype)
-    return dict(
+    out = dict(
         sz_sites=expectation_one_site(psi0, sz_op).re,
         loschmidt_echo=cpx.abs2(overlap(psi0, psi0)),
         entropies=entanglement_entropy(psi0),
         max_chi=max_bond_dimension(psi0),
         trunc_err=jnp.zeros((), dtype=psi0.lam.dtype),
     )
+    if correlation_site is not None:
+        out["zz_corr"] = zz_correlation_profile(psi0, correlation_site)
+    return out
 
 
 class CustomFloquet:
@@ -172,7 +195,9 @@ class CustomFloquet:
             self.trunc_params = TruncParams.from_dict(d)
 
     def evolve_floquet_traces(self, psi_initial: MPS, n_periods: int,
-                              measure_every: int = 1) -> Tuple[Dict, List[float], Dict]:
+                              measure_every: int = 1,
+                              correlation_site: int | None = None
+                              ) -> Tuple[Dict, List[float], Dict]:
         """Fused path: observable traces without materializing states.
 
         Returns (traces, times, info).  traces arrays have length
@@ -184,25 +209,34 @@ class CustomFloquet:
         divides n_periods -- observables cost n/m evaluations instead of n.
         A non-dividing m falls back to dense measurement + host-side
         selection with identical traces.
+
+        ``correlation_site=i`` adds a ``zz_corr [n_stored+1, L]`` trace:
+        <sigma^z_i sigma^z_j(t)> for all j, measured in-scan (the C(r, t)
+        map the reference can only build from materialized states).
         """
         start = time.time()
         if measure_every > 1 and n_periods % measure_every == 0:
             psi_final, tr = evolve_floquet_scan(
                 psi_initial, self.model.gates, n_periods, self.trunc_params,
-                measure_every=measure_every, measure_phase=0)
+                measure_every=measure_every, measure_phase=0,
+                correlation_site=correlation_site)
             sel = np.arange(n_periods // measure_every)
             periods = sel * measure_every          # measurement j at period j*m+1
         else:
             psi_final, tr = evolve_floquet_scan(psi_initial, self.model.gates,
-                                                n_periods, self.trunc_params)
+                                                n_periods, self.trunc_params,
+                                                correlation_site=correlation_site)
             sel = np.arange(0, n_periods, measure_every)
             periods = sel
         jax.block_until_ready(tr["loschmidt_echo"])
         wall_time = time.time() - start
 
-        init = _initial_observables(psi_initial)
+        init = _initial_observables(psi_initial, correlation_site)
+        keys = ("sz_sites", "loschmidt_echo", "entropies", "max_chi",
+                "trunc_err") + (("zz_corr",) if correlation_site is not None
+                                else ())
         traces = {}
-        for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi", "trunc_err"):
+        for k in keys:
             full = np.asarray(tr[k])[sel]
             traces[k] = np.concatenate([np.asarray(init[k])[None], full], axis=0)
         from ..core.observables import add_derived_magnetization
