@@ -319,3 +319,50 @@ class TestSiteSharding:
         psi0, gates, tp = self._setup(L=12)   # 12/8 not integral
         with pytest.raises(ValueError):
             evolve_floquet_sharded(psi0, gates, 2, tp, site_mesh(8))
+
+
+class TestEnsembleCorrelationTraces:
+    def test_batch_zz_corr_matches_single_and_sharded(self):
+        """evolve_batch(correlation_site=i): per-realization zz_corr equals
+        the single-chain CustomFloquet trace, and the mesh-sharded path
+        equals the unsharded one (incl. the t=0 row)."""
+        from timecrystal_tpu.core.mps import create_initial_state
+        from timecrystal_tpu.dynamics.tebd import CustomFloquet
+        from timecrystal_tpu.parallel.sweep import default_mesh
+
+        spec = _spec(L=8, chi=16, n=5)
+        site = 4
+        hf = np.stack([np.random.RandomState(s).uniform(-0.3, 0.3, spec.L)
+                       for s in (1, 2, 3)])
+        taus = jnp.asarray([1.0, 1.2, 0.9])
+        basis = _basis_indices(spec.L, "neel")
+        tr = evolve_batch(jnp.asarray(hf), taus, jnp.asarray(basis), spec,
+                          correlation_site=site)
+        assert tr["zz_corr"].shape == (3, spec.n_periods + 1, spec.L)
+
+        m = KickedIsingModel(spec.L, 1.0, 0.3, float(taus[1]),
+                             h_fields=hf[1], chi=spec.chi,
+                             theta=spec.theta, dtype=jnp.float64)
+        psi0 = create_initial_state(spec.L, "neel", chi=spec.chi,
+                                    dtype=jnp.float64)
+        ref, _, _ = CustomFloquet(m, TP).evolve_floquet_traces(
+            psi0, spec.n_periods, correlation_site=site)
+        np.testing.assert_allclose(np.asarray(tr["zz_corr"][1]),
+                                   ref["zz_corr"], atol=1e-12)
+
+        sharded = evolve_batch_sharded(jnp.asarray(hf), taus, basis, spec,
+                                       Mesh(np.asarray(jax.devices()),
+                                            ("batch",)),
+                                       correlation_site=site)
+        np.testing.assert_allclose(np.asarray(sharded["zz_corr"]),
+                                   np.asarray(tr["zz_corr"]), atol=1e-12)
+
+    def test_staged_rejects_correlation_site(self):
+        import pytest
+
+        from timecrystal_tpu.parallel.sweep import disorder_ensemble
+
+        spec = _spec(L=8, chi=16, n=4)
+        with pytest.raises(NotImplementedError, match="chi-staged"):
+            disorder_ensemble(jax.random.PRNGKey(0), 2, spec, 0.3, 1.0,
+                              staged=True, correlation_site=3)

@@ -49,8 +49,15 @@ class SweepSpec(NamedTuple):
     frame: str = "strict"    # 'strict' | 'merged' (see tebd.evolve_floquet_scan)
 
 
-def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec):
-    """Evolve one realization; pure jnp (h_fields, tau may be traced)."""
+def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec,
+                correlation_site: int | None = None):
+    """Evolve one realization; pure jnp (h_fields, tau may be traced).
+
+    ``correlation_site=i`` adds a zz_corr [n+1, L] trace (the full
+    <sz_i sz_j> profile per period, observables.zz_correlation_profile)
+    -- vmapped over the batch this yields disorder-averaged C(r, t) maps
+    entirely on device.  Exact in both frames (z-diagonal)."""
+    from ..core.observables import zz_correlation_profile
     from ..models.kicked_ising import (floquet_period, floquet_period_merged,
                                        ising_half_step)
 
@@ -82,8 +89,11 @@ def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec):
         le = cpx.abs2(overlap(ref_state, psi))
         chi_eff = max_bond_dimension(psi)
         ent_mid = entanglement_entropy(psi)[L // 2]
-        return psi, dict(sz_sites=sz, loschmidt_echo=le, max_chi=chi_eff,
-                         entropy_mid=ent_mid, trunc_err=err)
+        out = dict(sz_sites=sz, loschmidt_echo=le, max_chi=chi_eff,
+                   entropy_mid=ent_mid, trunc_err=err)
+        if correlation_site is not None:
+            out["zz_corr"] = zz_correlation_profile(psi, correlation_site)
+        return psi, out
 
     psi_final, tr = jax.lax.scan(period_fn, psi_start, None,
                                  length=spec.n_periods)
@@ -95,14 +105,17 @@ def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec):
     tr["max_chi"] = jnp.concatenate([jnp.ones((1,), tr["max_chi"].dtype), tr["max_chi"]])
     tr["entropy_mid"] = jnp.concatenate([jnp.zeros((1,), dtype), tr["entropy_mid"]])
     tr["trunc_err"] = jnp.concatenate([jnp.zeros((1,), dtype), tr["trunc_err"]])
+    if correlation_site is not None:
+        zz0 = zz_correlation_profile(psi0, correlation_site)
+        tr["zz_corr"] = jnp.concatenate([zz0[None], tr["zz_corr"]], axis=0)
     tr["magnetization"] = tr["sz_sites"].sum(axis=-1)
     tr["staggered_magnetization"] = (tr["sz_sites"] * signs[None]).sum(axis=-1) / L
     return tr
 
 
-@partial(jax.jit, static_argnames=("spec",))
+@partial(jax.jit, static_argnames=("spec", "correlation_site"))
 def evolve_batch(h_fields: jax.Array, taus: jax.Array, basis_indices: jax.Array,
-                 spec: SweepSpec):
+                 spec: SweepSpec, correlation_site: int | None = None):
     """vmapped Floquet evolution over a batch of realizations.
 
     Args:
@@ -110,11 +123,15 @@ def evolve_batch(h_fields: jax.Array, taus: jax.Array, basis_indices: jax.Array,
       taus:          [R] half-period per realization (phase grids vary tau).
       basis_indices: [L] shared initial product state (0 = up).
       spec:          static SweepSpec.
+      correlation_site: when set, traces gain zz_corr [R, n+1, L] -- the
+        <sz_i sz_j> profile per realization per period (disorder-averaged
+        C(r, t) maps are one mean over axis 0).
 
     Returns a dict of stacked traces with leading batch axis [R, ...].
     """
     spec = _resolve_svd_method(spec, h_fields.shape[0])
-    return jax.vmap(lambda h, t: _traces_one(h, t, basis_indices, spec))(h_fields, taus)
+    return jax.vmap(lambda h, t: _traces_one(h, t, basis_indices, spec,
+                                             correlation_site))(h_fields, taus)
 
 
 def _resolve_svd_method(spec: SweepSpec, R: int) -> SweepSpec:
@@ -480,7 +497,8 @@ def default_mesh(axis_name: str = "batch", devices=None) -> Mesh:
 
 
 def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
-                         mesh: Mesh | None = None, axis_name: str = "batch"):
+                         mesh: Mesh | None = None, axis_name: str = "batch",
+                         correlation_site: int | None = None):
     """Shard the realization batch over the device mesh.
 
     The batch is padded up to a multiple of the mesh size (padded entries are
@@ -498,12 +516,14 @@ def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
         from .multihost import evolve_batch_multihost
 
         return evolve_batch_multihost(h_fields, taus, basis_indices, spec,
-                                      mesh=mesh, axis_name=axis_name)
+                                      mesh=mesh, axis_name=axis_name,
+                                      correlation_site=correlation_site)
     R = int(h_fields.shape[0])
     h_fields, taus, _ = _pad_to_mesh(h_fields, taus, mesh, axis_name)
     basis_indices = jax.device_put(jnp.asarray(basis_indices),
                                    NamedSharding(mesh, P()))
-    out = evolve_batch(h_fields, taus, basis_indices, spec)
+    out = evolve_batch(h_fields, taus, basis_indices, spec,
+                       correlation_site=correlation_site)
     return {k: v[:R] for k, v in out.items()}
 
 
@@ -511,7 +531,8 @@ def disorder_ensemble(key, n_realizations: int, spec: SweepSpec,
                       h_disorder: float, tau: float, state_type: str = "neel",
                       mesh: Mesh | None = None, staged: bool = False,
                       chi_start: int = 32, chunk_periods: int = 5,
-                      cap_svd_method: str | None = None):
+                      cap_svd_method: str | None = None,
+                      correlation_site: int | None = None):
     """Batched disorder ensemble (BASELINE config disordered_time_crystal:
     'random fields h_i, N disorder realizations vmapped').
 
@@ -527,14 +548,21 @@ def disorder_ensemble(key, n_realizations: int, spec: SweepSpec,
     taus = jnp.full((n_realizations,), tau)
     basis = _basis_indices(spec.L, state_type)
     if staged:
+        if correlation_site is not None:
+            raise NotImplementedError(
+                "correlation_site is not supported on the chi-staged path "
+                "(fixed chunk trace keys / checkpoint layout); use the "
+                "fixed-chi paths (staged=False)")
         traces, _ = evolve_batch_auto(h, taus, jnp.asarray(basis), spec,
                                       chi_start=chi_start,
                                       chunk_periods=chunk_periods, mesh=mesh,
                                       cap_svd_method=cap_svd_method)
         return traces
     if mesh is not None:
-        return evolve_batch_sharded(h, taus, basis, spec, mesh)
-    return evolve_batch(h, jnp.asarray(taus), jnp.asarray(basis), spec)
+        return evolve_batch_sharded(h, taus, basis, spec, mesh,
+                                    correlation_site=correlation_site)
+    return evolve_batch(h, jnp.asarray(taus), jnp.asarray(basis), spec,
+                        correlation_site=correlation_site)
 
 
 def phase_grid_batch(h_over_J_values, T_J_values, spec: SweepSpec,
