@@ -86,6 +86,34 @@ def ensemble() -> None:
           f"chi staged to {info['chi_pad_used']}):")
     print(f"A2T per realization: {np.round(a2t, 3)}")
 
+    correlator_map()
+
+
+def correlator_map() -> None:
+    """Disorder-averaged C(r, t) = mean_h <sz_i sz_j(t)> from a central
+    anchor, measured IN-SCAN for the whole ensemble (no state histories --
+    the reference must materialize every state per realization for this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from timecrystal_tpu.models.kicked_ising import draw_disorder_batch
+    from timecrystal_tpu.parallel import SweepSpec, evolve_batch
+    from timecrystal_tpu.parallel.sweep import _basis_indices
+
+    R, L, site = 8, 12, 6
+    spec = SweepSpec(L=L, chi=32, n_periods=20, theta=0.97 * float(np.pi),
+                     tp=TruncParams(chi_max=0, svd_min=1e-7),
+                     dtype="float32")
+    h = draw_disorder_batch(jax.random.PRNGKey(1), R, L, 0.3)
+    tr = evolve_batch(h, jnp.full((R,), 1.0),
+                      jnp.asarray(_basis_indices(L, "neel")), spec,
+                      correlation_site=site)
+    c_rt = np.asarray(tr["zz_corr"]).mean(axis=0)     # [n+1, L]
+    print(f"\ndisorder-averaged C(r, t) from site {site} "
+          f"(rows t=0, 10, 20 periods):")
+    for t in (0, 10, 20):
+        print(f"  t={t:2d}: {np.round(c_rt[t], 2)}")
+
 
 if __name__ == "__main__":
     main()
