@@ -134,6 +134,29 @@ def create_initial_state(
     return product_state(idx, chi=chi, d=d, dtype=dtype)
 
 
+def haar_product_state(n_sites: int, chi: int, d: int = 2,
+                       dtype=jnp.float32,
+                       rng: np.random.Generator | None = None) -> MPS:
+    """Product state with an independent Haar-random local unit vector per
+    site (complex gaussian, normalized).
+
+    Unlike ``create_initial_state(..., 'random')`` -- a random
+    COMPUTATIONAL basis state, hence an exact eigenstate of every
+    symmetry diagonal in the z basis -- this start carries weight in
+    every symmetry sector.  It is the default start of the
+    imaginary-time ground-state search (dynamics/ground_state.py), where
+    a sector-pure start traps the descent in that sector's lowest state
+    (e.g. a random basis state with total Sz != 0 can never reach the
+    Heisenberg singlet ground state).
+    """
+    gen = rng if rng is not None else np.random.default_rng()
+    v = gen.normal(size=(n_sites, d)) + 1j * gen.normal(size=(n_sites, d))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    tensors = [v[i].reshape(1, d, 1) for i in range(n_sites)]
+    lams = [np.ones(1)] * (n_sites + 1)
+    return from_dense_tensors(tensors, lams, chi, dtype)
+
+
 def from_dense_tensors(tensors: list[np.ndarray], lams: list[np.ndarray],
                        chi: int, dtype=jnp.float32) -> MPS:
     """Build a padded MPS from dense per-site B tensors [chi_l, d, chi_r]

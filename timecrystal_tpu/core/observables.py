@@ -164,6 +164,89 @@ def zz_correlation_profile(psi: MPS, i: int) -> jax.Array:
     return out
 
 
+def bond_energies(psi: MPS, bond_H: C) -> jax.Array:
+    """Per-bond energies <theta_b| H_b |theta_b> / <theta_b|theta_b>: [L-1].
+
+    ``bond_H`` is C[L-1, d, d, d, d] with the gate index convention
+    [p_out, q_out, p_in, q_in] (core/truncate.apply_bond_gates).  With
+    onsite terms split onto bonds (dynamics.tebd.spin_chain_model) the sum
+    is the full energy <H>.  All bonds are contracted in ONE batched
+    einsum over the bond axis (theta_b = lam_b . B_b . B_{b+1}; right
+    environments are trivial in B-form, the left environment is
+    diag(lam^2)).  The per-bond normalization makes the value robust to
+    the O(dt) canonical-form drift of imaginary-time TEBD
+    (dynamics/ground_state.py).  The reference has no energy observable
+    at all (its README advertises ground-state preparation that the code
+    never implements); this supports the TPU-native one.
+    """
+    L = psi.L
+    Bl = psi.B[:-1]                       # C[L-1, chi, d, chi]
+    Br = psi.B[1:]
+    lamL = psi.lam[: L - 1]               # [L-1, chi]
+    theta = cpx.einsum("napb,nbqc->napqc", Bl, Br) * lamL[:, :, None, None, None]
+    Ht = cpx.einsum("npqrs,narsc->napqc", bond_H, theta)
+    num = cpx.einsum("napqc,napqc->n", theta.conj(), Ht).re
+    den = cpx.einsum("napqc,napqc->n", theta.conj(), theta).re
+    return num / jnp.maximum(den, jnp.asarray(1e-30, den.dtype))
+
+
+def total_energy(psi: MPS, bond_H: C) -> jax.Array:
+    """<H> for a nearest-neighbor chain Hamiltonian (sum of bond_energies)."""
+    return jnp.sum(bond_energies(psi, bond_H))
+
+
+def bond_energies_exact(psi: MPS, bond_H: C) -> jax.Array:
+    """Per-bond energies with EXACT left/right environments: [L-1].
+
+    ``bond_energies`` assumes canonical form (left env diag(lam^2), right
+    env identity), which non-unitary imaginary-time sweeps degrade at
+    O(dt) -- flooring the measured energy error at O(dt) even though the
+    state itself is O(dt^2) from the ground state.  This variant builds
+    both environment stacks by genuine transfer contractions (two
+    O(L chi^3) ``lax.scan``s, same recurrence as ``core.mps.overlap``),
+    so the result is the true variational Rayleigh quotient
+    <psi|H_b|psi> / <psi|psi> regardless of canonical-form drift: energy
+    error quadratic in the state error.  Used by
+    dynamics/ground_state.imaginary_time_scan.
+    """
+    L, chi = psi.L, psi.chi
+    dtype = psi.dtype
+    e00 = C(jnp.zeros((chi, chi), dtype).at[0, 0].set(1.0),
+            jnp.zeros((chi, chi), dtype))
+
+    def fwd(E, B):
+        # E[a_bra, a_ket]; emit the env BEFORE absorbing this site
+        T = cpx.einsum("ab,bpc->apc", E, B)
+        E_new = cpx.einsum("apb,apc->bc", B.conj(), T)
+        return E_new, E
+
+    _, lenvs = jax.lax.scan(fwd, e00, psi.B)      # lenvs[i]: left of site i
+
+    def bwd(F, B):
+        # F[b_bra, b_ket]; emit the env RIGHT of this site before absorbing
+        T = cpx.einsum("apb,bc->apc", B.conj(), F)
+        F_new = cpx.einsum("apc,dpc->ad", T, B)
+        return F_new, F
+
+    _, renvs = jax.lax.scan(bwd, e00, psi.B, reverse=True)  # renvs[i]: right of site i
+
+    Bl, Br = psi.B[:-1], psi.B[1:]
+    theta = cpx.einsum("napb,nbqc->napqc", Bl, Br)          # C[L-1,chi,d,d,chi]
+    Ht = cpx.einsum("npqrs,narsc->napqc", bond_H, theta)
+    lenv = lenvs[:-1]                                       # env left of site b
+    renv = renvs[1:]                                        # env right of site b+1
+
+    def sandwich(mid):
+        # <theta| lenv (x) mid (x) renv: lenv[a_bra, A_ket], renv[c_bra, C_ket]
+        T1 = cpx.einsum("naA,nApqC->napqC", lenv, mid)
+        T2 = cpx.einsum("napqC,ncC->napqc", T1, renv)
+        return cpx.einsum("napqc,napqc->n", theta.conj(), T2).re
+
+    num = sandwich(Ht)
+    den = sandwich(theta)
+    return num / jnp.maximum(den, jnp.asarray(1e-30, den.dtype))
+
+
 def order_parameter(psi: MPS, sublattice_a, sublattice_b) -> jax.Array:
     """|<S_A> - <S_B>| over z-magnetization sublattice means
     (reference observables.py:280-296)."""

@@ -639,11 +639,24 @@ class NearestNeighborModel:
         self.d = d
         self.L = self.bond_H.shape[0] + 1
 
-    def trotter_gates(self, dt: float, dtype=jnp.float32) -> C:
-        """exp(-i dt H_b) for every bond, C[L-1, d, d, d, d]."""
-        g = np.stack([G.expm_two_site(H, dt) for H in self.bond_H])
+    def trotter_gates(self, dt: float, dtype=jnp.float32,
+                      imag: bool = False) -> C:
+        """exp(-i dt H_b) for every bond, C[L-1, d, d, d, d].
+
+        ``imag=True`` returns the imaginary-time (non-unitary) gates
+        exp(-dt H_b) used by dynamics/ground_state.py."""
+        t = -1j * dt if imag else dt
+        g = np.stack([G.expm_two_site(H, t) for H in self.bond_H])
         d = self.d
         return G.gate_from_numpy(g.reshape(-1, d, d, d, d), dtype=dtype)
+
+    def bond_terms(self, dtype=jnp.float32) -> C:
+        """The dense bond Hamiltonians as a device C[L-1, d, d, d, d]
+        tensor in the gate index convention, for
+        core.observables.bond_energies / total_energy."""
+        d = self.d
+        return G.gate_from_numpy(
+            self.bond_H.reshape(-1, d, d, d, d), dtype=dtype)
 
 
 def spin_chain_model(L: int, Jx=0.0, Jy=0.0, Jz=1.0, hx=0.0, hz=0.0,
