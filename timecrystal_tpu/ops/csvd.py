@@ -425,14 +425,25 @@ def csvd_topk(theta: C, k: int, method: str = "auto",
         from .pallas.jacobi_svd import jacobi_proj
 
         if k % 2 == 0 and k <= min(m, n):
-            # polish iters 6: measured equal-accuracy to 12 on steady-state
-            # thetas (baselines/chained_proj_timing.py); NS is quadratic, 6
-            # iters resolve defects up to ~0.1 to the f32 floor.
+            if theta.dtype == jnp.float64:
+                # f64: dtype-default tols; polish 6 measured equal-accuracy
+                # to 12 on steady-state thetas (chained_proj_timing.py).
+                tuned = dict(polish_b_iters=6, polish_iters=6)
+            else:
+                # f32 tuned config (closed-loop A/B, baselines/
+                # chained_proj_tol_tuning.py): tol 1e-6 + polish 4+4 is 17%
+                # faster (5.43 vs 4.64 p/s steady at L=40 chi=256) with
+                # 50-period trace deltas in the default's class
+                # (|d stag| 1.1e-3 vs 8.4e-4, |d LE| 7.5e-4 vs 3.0e-4,
+                # |d sz| equal).  NS polish is quadratic: 4 iters resolve
+                # the looser-tol defects (~1e-3) to the f32 floor.
+                tuned = dict(tol=1e-6, tol_b=1e-6,
+                             polish_b_iters=4, polish_iters=4)
             S, V, disc = jacobi_proj(theta, k,
                                      max_sweeps=jacobi_sweeps or None,
                                      polish=k,
-                                     polish_b_iters=6, polish_iters=6,
-                                     interpret=_interpret_mode())
+                                     interpret=_interpret_mode(),
+                                     **tuned)
             Vh = C(jnp.swapaxes(V.re, -1, -2), -jnp.swapaxes(V.im, -1, -2))
             return S, Vh, disc
         method = "jacobi"
