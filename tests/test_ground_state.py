@@ -125,6 +125,22 @@ def test_energy_descends_within_leg():
     assert float(np.max(np.diff(e))) < 1e-8
 
 
+def test_f32_default_tolerance_converges():
+    """The default (dtype=f32) search must CONVERGE per leg, not silently
+    burn max_chunks_per_dt: the dtype-aware e_tol default (1e-6 in f32)
+    sits above the ~1e-7-relative f32 in-scan energy jitter that a blanket
+    1e-10 tolerance could never cross."""
+    L = 6
+    model = spin_chain_model(L, Jz=1.0, hx=0.7)
+    psi, E, info = find_ground_state(model, chi=8, dts=(0.1, 0.02),
+                                     max_chunks_per_dt=60)
+    assert all(info["converged"]), info["converged"]
+    # f32 accuracy class vs the dense oracle
+    assert abs(E - exact_ground_energy(model)) < 1e-3, E
+    # convergence happened well before the chunk cap on every leg
+    assert info["n_steps"] < 2 * 60 * 20
+
+
 def test_ground_state_from_explicit_psi0():
     """An explicit psi0 overrides the default start; the ladder still
     reaches the ground state from a Neel state when the Hamiltonian mixes

@@ -79,7 +79,7 @@ def find_ground_state(model: NearestNeighborModel, chi: int = 32,
                       state_type: str = "haar_product",
                       seed: int = 0, dts=(0.1, 0.01, 1e-3),
                       chunk_steps: int = 20, max_chunks_per_dt: int = 200,
-                      e_tol: float = 1e-10,
+                      e_tol: float | None = None,
                       tp: TruncParams | None = None,
                       dtype=jnp.float32):
     """Variational ground-state search by imaginary-time TEBD.
@@ -96,6 +96,11 @@ def find_ground_state(model: NearestNeighborModel, chi: int = 32,
       dts: the time-step ladder, coarse to fine.  Each leg runs until the
         energy change per chunk falls below ``e_tol * max(1, |E|)`` or
         ``max_chunks_per_dt`` chunks.
+      e_tol: per-leg convergence tolerance; default is dtype-aware
+        (1e-10 in f64, 1e-6 in f32 -- the f32 in-scan energy jitters at
+        ~1e-7 relative, so a tighter f32 tolerance would never trigger:
+        every leg would silently burn ``max_chunks_per_dt`` chunks and
+        report ``converged=False``, disabling the Richardson step).
       chunk_steps: steps per compiled scan chunk (convergence is checked
         on the host between chunks; the chunk program compiles once per
         dt).
@@ -111,6 +116,8 @@ def find_ground_state(model: NearestNeighborModel, chi: int = 32,
       converged), ``n_steps``, ``wall_time``, ``dts``, ``converged``
       flags per leg, and the final ``entropies`` profile.
     """
+    if e_tol is None:
+        e_tol = 1e-10 if jnp.dtype(dtype).itemsize >= 8 else 1e-6
     if tp is None:
         floor = 1e-14 if jnp.dtype(dtype).itemsize >= 8 else 1e-7
         tp = TruncParams(chi_max=0, svd_min=floor)
