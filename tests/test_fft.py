@@ -111,3 +111,91 @@ class TestBatchedSubharmonic:
         out = np.asarray(batched_subharmonic_amplitude(
             jnp.asarray(times), jnp.asarray(batch), jnp.asarray(periods)))
         assert np.all(out > 0.8)
+
+
+class TestSpacetimePower:
+    """Space-time power map (ops/fft.spacetime_power) and the
+    dynamic_structure_factor wrapper."""
+
+    def test_matches_numpy_fft2(self):
+        """Bin-exact vs the NumPy 2D FFT of the identically preprocessed
+        map (Hann in time, per-r time-mean removed), positive time bins."""
+        from timecrystal_tpu.ops.fft import spacetime_power
+
+        rng = np.random.default_rng(7)
+        n_t, L = 41, 12
+        c = rng.normal(size=(n_t, L))
+        S = np.asarray(spacetime_power(jnp.asarray(c)))
+        x = c - c.mean(axis=0, keepdims=True)
+        x = x * np.hanning(n_t)[:, None]
+        F = np.fft.fft2(x)                      # axes (t, r), NumPy order
+        n_pos = (n_t - 1) // 2
+        np.testing.assert_allclose(S, np.abs(F[1:n_pos + 1, :]) ** 2,
+                                   rtol=1e-10, atol=1e-12)
+
+    def test_batch_dims(self):
+        from timecrystal_tpu.ops.fft import spacetime_power
+
+        rng = np.random.default_rng(8)
+        c = rng.normal(size=(3, 21, 8))
+        S = np.asarray(spacetime_power(jnp.asarray(c)))
+        assert S.shape == (3, 10, 8)
+        S0 = np.asarray(spacetime_power(jnp.asarray(c[1])))
+        np.testing.assert_allclose(S[1], S0, rtol=1e-12)
+
+    def test_synthetic_dtc_peak(self):
+        """A period-doubled antiferromagnetic map cos(pi r) cos(omega t/2)
+        must put the spectral peak at exactly (k = pi, f = f_drive/2).
+
+        Sampled at dt = T/4 with n_t = 128 so the subharmonic f = 1/(2T)
+        sits EXACTLY on time bin 16 (stroboscopic dt = T sampling would
+        put it at Nyquist, outside the positive-bin slice)."""
+        from timecrystal_tpu.core.observables import dynamic_structure_factor
+
+        L, T, n_t = 16, 2.0, 128
+        times = np.arange(n_t) * (T / 4)
+        r = np.arange(L)
+        c = np.cos(np.pi * r)[None, :] * np.cos(
+            2 * np.pi * times / (2 * T))[:, None]
+        freqs, ks, S = dynamic_structure_factor(times, c)
+        S = np.asarray(S)
+        fi, ki = np.unravel_index(np.argmax(S), S.shape)
+        assert ks[ki] == 2 * np.pi * (L // 2) / L      # k = pi
+        f_drive = 1.0 / T
+        assert abs(freqs[fi] - f_drive / 2) < 1e-12
+
+    def test_kicked_ising_subharmonic_peak(self):
+        """End-to-end: the TWO-TIME map C(r, t) = <sz_i(0) sz_j(t)> of a
+        disordered kicked-Ising chain in the DTC regime -> S(k, omega)
+        peaks at (k = pi, f -> f_drive/2).  The two-time map is the
+        correct input here: the equal-time map is nearly static in a DTC
+        (both spins flip together), while the two-time map alternates
+        with O(1) amplitude."""
+        from timecrystal_tpu.core.mps import create_initial_state
+        from timecrystal_tpu.core.observables import dynamic_structure_factor
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.dynamics.tebd import evolve_two_time_zz
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+
+        L, tau, n_per = 12, 1.0, 40
+        h = draw_disorder_reference(L, 0.2, 42)
+        gates = make_floquet_gates(1.0, jnp.asarray(h, jnp.float64), tau,
+                                   theta=0.98 * np.pi, dtype=jnp.float64)
+        tp = TruncParams(chi_max=0, svd_min=1e-12)
+        psi = create_initial_state(L, "neel", chi=32, dtype=jnp.float64)
+        _, tr = evolve_two_time_zz(psi, gates, n_per, tp, anchor=L // 2)
+        # scan traces have no t=0 row: rows are t = 2 tau ... n_per * 2 tau
+        times = (np.arange(n_per) + 1) * 2 * tau
+        freqs, ks, S = dynamic_structure_factor(times, tr["zz2t_re"])
+        S = np.asarray(S)
+        fi, ki = np.unravel_index(np.argmax(S), S.shape)
+        assert ks[ki] == np.pi, (ki, ks[ki])
+        # stroboscopic sampling (dt = T): the subharmonic f = 1/(2T) IS
+        # the Nyquist frequency, so the peak must land on the positive
+        # bin closest to it
+        f_sub = 1.0 / (4 * tau)
+        assert fi == int(np.argmin(np.abs(freqs - f_sub))), (
+            fi, freqs[fi], f_sub)
+        # and the peak carries O(1) of the total spectral weight
+        assert S[fi, ki] > 0.5 * np.sum(S) / 10

@@ -432,3 +432,92 @@ class TestCorrelationTraces:
                                       correlation_site=site)
         np.testing.assert_allclose(np.asarray(tr_m["zz_corr"]),
                                    traces["zz_corr"][1:], atol=1e-12)
+
+
+class TestTwoTimeCorrelator:
+    """evolve_two_time_zz: C(r, t) = <sz_i(0) sz_j(t)> vs the dense
+    statevector oracle, plus frame equivalence and the t=0 contract."""
+
+    def _exact_rows(self, L, h, tau, theta, anchor, n):
+        from tests.exact_reference import (SZ, floquet_unitary,
+                                           neel_indices, product_statevector)
+
+        U = floquet_unitary(L, 1.0, np.asarray(h), tau, theta)
+        v = product_statevector(neel_indices(L))
+        w = _kron_at(SZ, [anchor], L) @ v          # sz_anchor |psi0>
+        Zj = [_kron_at(SZ, [j], L) for j in range(L)]
+        rows = []
+        for _ in range(n):
+            v, w = U @ v, U @ w
+            rows.append([np.vdot(w, Zj[j] @ v) for j in range(L)])
+        return np.asarray(rows)                     # [n, L] complex
+
+    def test_matches_dense_oracle_and_frames(self):
+        from timecrystal_tpu.core.observables import zz_correlation_profile
+        from timecrystal_tpu.dynamics.tebd import evolve_two_time_zz
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+
+        L, chi, n, anchor, tau = 8, 16, 6, 3, 0.9
+        theta = 0.93 * np.pi
+        h = draw_disorder_reference(L, 0.3, 11)
+        gates = make_floquet_gates(1.0, jnp.asarray(h, DTYPE), tau,
+                                   theta=theta, dtype=DTYPE)
+        tp = TruncParams(chi_max=0, svd_min=1e-14)
+        psi0 = create_initial_state(L, "neel", chi=chi, dtype=DTYPE)
+
+        _, tr = evolve_two_time_zz(psi0, gates, n, tp, anchor=anchor)
+        c = np.asarray(tr["zz2t_re"]) + 1j * np.asarray(tr["zz2t_im"])
+        exact = self._exact_rows(L, h, tau, theta, anchor, n)
+        np.testing.assert_allclose(c, exact, atol=1e-8)
+
+        # merged frame: identical correlator (W is z-diagonal)
+        _, tr_m = evolve_two_time_zz(psi0, gates, n, tp, anchor=anchor,
+                                     frame="merged")
+        np.testing.assert_allclose(np.asarray(tr_m["zz2t_re"]),
+                                   np.asarray(tr["zz2t_re"]), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(tr_m["zz2t_im"]),
+                                   np.asarray(tr["zz2t_im"]), atol=1e-10)
+
+        # t=0: the two-time and equal-time profiles coincide by definition
+        c0 = np.asarray(zz_correlation_profile(psi0, anchor))
+        np.testing.assert_allclose(
+            c0, [(-1.0) ** (abs(j - anchor) % 2) for j in range(L)],
+            atol=1e-14)
+
+    def test_measure_every(self):
+        from timecrystal_tpu.dynamics.tebd import evolve_two_time_zz
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+
+        L, chi, n = 8, 16, 6
+        h = draw_disorder_reference(L, 0.3, 11)
+        gates = make_floquet_gates(1.0, jnp.asarray(h, DTYPE), 0.9,
+                                   theta=0.93 * np.pi, dtype=DTYPE)
+        tp = TruncParams(chi_max=0, svd_min=1e-14)
+        psi0 = create_initial_state(L, "neel", chi=chi, dtype=DTYPE)
+        _, dense = evolve_two_time_zz(psi0, gates, n, tp, anchor=3)
+        _, sparse = evolve_two_time_zz(psi0, gates, n, tp, anchor=3,
+                                       measure_every=2)
+        np.testing.assert_allclose(np.asarray(sparse["zz2t_re"]),
+                                   np.asarray(dense["zz2t_re"])[1::2],
+                                   atol=1e-12)
+
+    def test_dtc_subharmonic_alternation(self):
+        """In the DTC regime the two-time map alternates with O(1)
+        amplitude: C(anchor, t) flips sign every period while the
+        equal-time value stays ~ +1."""
+        from timecrystal_tpu.dynamics.tebd import evolve_two_time_zz
+        from timecrystal_tpu.models.kicked_ising import (
+            draw_disorder_reference, make_floquet_gates)
+
+        L, chi, n, anchor = 10, 32, 12, 5
+        h = draw_disorder_reference(L, 0.2, 42)
+        gates = make_floquet_gates(1.0, jnp.asarray(h, DTYPE), 1.0,
+                                   theta=0.98 * np.pi, dtype=DTYPE)
+        tp = TruncParams(chi_max=0, svd_min=1e-12)
+        psi0 = create_initial_state(L, "neel", chi=chi, dtype=DTYPE)
+        _, tr = evolve_two_time_zz(psi0, gates, n, tp, anchor=anchor)
+        onsite = np.asarray(tr["zz2t_re"])[:, anchor]
+        signs = (-1.0) ** (np.arange(1, n + 1))
+        assert np.all(onsite * signs > 0.5), onsite

@@ -180,6 +180,20 @@ def from_dense_tensors(tensors: list[np.ndarray], lams: list[np.ndarray],
 # Basic linear-algebra queries
 # ---------------------------------------------------------------------------
 
+def apply_sz(psi: MPS, site: int) -> MPS:
+    """sigma^z applied at one site (diagonal unitary: the right-canonical
+    B-form and the Schmidt values are exactly preserved).  Used to seed
+    the two-time correlator evolution phi(0) = sigma^z_i |psi0>
+    (dynamics.tebd.evolve_two_time_zz)."""
+    if psi.B.re.shape[2] != 2:
+        raise ValueError("apply_sz requires local dimension d=2, got "
+                         f"d={psi.B.re.shape[2]}")
+    zdiag = jnp.asarray([1.0, -1.0], psi.dtype)
+    re = psi.B.re.at[site].set(psi.B.re[site] * zdiag[None, :, None])
+    im = psi.B.im.at[site].set(psi.B.im[site] * zdiag[None, :, None])
+    return MPS(B=C(re, im), lam=psi.lam)
+
+
 def overlap(psi1: MPS, psi2: MPS) -> C:
     """<psi1|psi2> for two right-canonical B-form MPS, as a C scalar.
 

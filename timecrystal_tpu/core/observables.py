@@ -164,6 +164,50 @@ def zz_correlation_profile(psi: MPS, i: int) -> jax.Array:
     return out
 
 
+def cross_sz_profile(phi: MPS, psi: MPS) -> C:
+    """<phi| sigma^z_j |psi> for ALL j: C array [L].
+
+    The cross-state counterpart of ``zz_correlation_profile``: with
+    phi(t) = U^t sigma^z_i |psi0> and psi(t) = U^t |psi0| this reads off
+    the TWO-TIME correlator C(r, t) = <sz_i(0) sz_j(t)> -- the standard
+    DTC order-parameter diagnostic (the equal-time map is nearly static
+    in a time crystal: both spins flip together, so its subharmonic
+    weight is only O(pulse imperfection); the two-time map alternates at
+    f_drive/2 with O(1) amplitude).
+
+    No canonical collapse applies on either side (the two states differ),
+    so this is three O(L chi^3) passes: left transfer environments, right
+    transfer environments (both ``lax.scan``), one batched per-site
+    readout.  Boundary convention matches ``core.mps.overlap``.
+    """
+    dtype = psi.dtype
+    zdiag = G.pauli_c("z", dtype).re.diagonal()
+    chi1, chi2 = phi.B.re.shape[1], psi.B.re.shape[1]
+
+    E0 = C(jnp.zeros((chi1, chi2), dtype).at[0, 0].set(1.0),
+           jnp.zeros((chi1, chi2), dtype))
+
+    def lstep(E, Bs):
+        B1, B2 = Bs
+        T = cpx.einsum("ab,bpc->apc", E, B2)
+        return cpx.einsum("apb,apc->bc", B1.conj(), T), E
+
+    _, Ls = jax.lax.scan(lstep, E0, (phi.B, psi.B))   # Ls[j] = env of sites < j
+
+    def rstep(R, Bs):
+        B1, B2 = Bs
+        T = cpx.einsum("apb,cb->apc", B2, R)
+        return cpx.einsum("apc,bpc->ab", B1.conj(), T), R
+
+    _, Rs = jax.lax.scan(rstep, E0, (phi.B[::-1], psi.B[::-1]))
+    Rs = Rs[::-1]                                     # Rs[j] = env of sites > j
+
+    Bz = psi.B * zdiag[None, None, :, None]
+    T1 = cpx.einsum("jab,jbpc->japc", Ls, Bz)
+    T2 = cpx.einsum("japc,jbc->japb", T1, Rs)
+    return cpx.einsum("japb,japb->j", phi.B.conj(), T2)
+
+
 def bond_energies(psi: MPS, bond_H: C) -> jax.Array:
     """Per-bond energies <theta_b| H_b |theta_b> / <theta_b|theta_b>: [L-1].
 
@@ -370,3 +414,46 @@ def calculate_fourier_spectrum(times, data, drive_period):
     drive_freq = 1.0 / drive_period
     pmax = np.max(power) if len(power) else 0.0
     return freqs_pos / drive_freq, (power / pmax if pmax > 0 else power)
+
+
+def dynamic_structure_factor(times, c_rt):
+    """S(k, omega) from a C(r, t) correlator map: (freqs, ks, S).
+
+    Space-time power spectrum of a correlator map -- the momentum-resolved
+    counterpart of the reference's site-series Fourier toolkit (reference
+    main.py:571-618 works one real-space series at a time; a structure
+    factor requires the state histories it materializes, here it is one
+    device program on an in-scan map).
+
+    Input choice matters for the DTC signature.  The TWO-TIME map
+    ``zz2t_re`` from ``dynamics.tebd.evolve_two_time_zz`` (C(r, t) =
+    Re <sz_i(0) sz_j(t)>) peaks at (k = pi, f = 1/(2 T_drive)) with O(1)
+    weight -- the standard period-doubling diagnostic.  The EQUAL-TIME
+    map (``correlation_site=...`` traces) is nearly static in a DTC (both
+    spins flip together): it reads out the k = pi antiferromagnetic order
+    and its decay envelope, with only O(pulse-imperfection) subharmonic
+    weight.
+
+    Args:
+      times: [n_t] uniform sample times of the map's rows.
+      c_rt:  [..., n_t, L] real correlator map (batch dims allowed).
+
+    Returns:
+      freqs: [n_pos] positive frequencies (same binning as
+        ``extract_subharmonic_amplitude``), n_pos = (n_t - 1) // 2.
+      ks:    [L] momenta 2 pi m / L, m = 0..L-1.
+      S:     [..., n_pos, L] real power, Hann-windowed and DC-removed
+        along time (ops.fft.spacetime_power).
+    """
+    from ..ops.fft import spacetime_power
+
+    times = np.asarray(times)
+    c_rt = jnp.asarray(c_rt)
+    n_t, L = c_rt.shape[-2], c_rt.shape[-1]
+    if len(times) != n_t:
+        raise ValueError(f"times has {len(times)} entries for {n_t} rows")
+    dt = float(np.mean(np.diff(times)))
+    n_pos = (n_t - 1) // 2
+    freqs = np.arange(1, n_pos + 1) / (n_t * dt)
+    ks = 2.0 * np.pi * np.arange(L) / L
+    return freqs, ks, spacetime_power(c_rt)

@@ -156,6 +156,91 @@ def evolve_floquet_scan(psi0: MPS, gates: FloquetGates, n_periods: int,
     return psi_final, traces
 
 
+@partial(jax.jit, static_argnames=("n_periods", "tp", "anchor", "frame",
+                                   "measure_every"))
+def evolve_two_time_zz(psi0: MPS, gates: FloquetGates, n_periods: int,
+                       tp: TruncParams, anchor: int, frame: str = "strict",
+                       measure_every: int = 1):
+    """Two-time correlator traces C(r, t) = <sz_anchor(0) sz_j(t)>.
+
+    THE standard DTC order-parameter diagnostic: in a time crystal the
+    two-time map alternates at f_drive/2 with O(1) amplitude, so its
+    structure factor (core.observables.dynamic_structure_factor of the
+    REAL part) peaks at (k = pi, f = f_drive/2).  The equal-time map
+    (``correlation_site=...`` traces) cannot show this -- both spins flip
+    together, leaving only O(pulse-imperfection) subharmonic weight.  The
+    reference has no two-time machinery at all (its observables,
+    reference src/core/observables.py:74-121, are equal-time on
+    materialized states).
+
+    Evolves |psi(t)> = U^t |psi0> and |phi(t)> = U^t sz_anchor |psi0>
+    side by side in ONE ``lax.scan`` (2x the single-state cost) and reads
+    off <phi(t)| sz_j |psi(t)> for all j per measurement
+    (core.observables.cross_sz_profile).  frame='merged' is exact for
+    this readout: the half-step frame change W is z-diagonal, so
+    W^dag sz_j W = sz_j on the cross expectation, same argument as the
+    equal-time map.
+
+    Returns (psi_final, traces): zz2t_re / zz2t_im [n_meas, L] (the
+    correlator is complex -- sz_anchor(0) and sz_j(t) do not commute),
+    max_chi [n_meas] (of psi), trunc_err [n_meas] (psi + phi summed).
+    Rows are t = measure_every*2tau, ...; the t=0 row is the REAL
+    equal-time profile zz_correlation_profile(psi0, anchor) (at t=0 the
+    two coincide) -- callers prepend it host-side.
+    """
+    from ..core.observables import cross_sz_profile
+    from ..core.mps import apply_sz
+
+    m = int(measure_every)
+    if m < 1 or n_periods % m != 0:
+        raise ValueError(f"measure_every={m} must divide n_periods={n_periods}")
+    n_meas = n_periods // m
+
+    phi0 = apply_sz(psi0, anchor)
+    if frame == "merged":
+        from ..models.kicked_ising import (floquet_period_merged,
+                                           ising_half_step,
+                                           ising_half_step_inverse)
+
+        psi_m, e_psi0 = ising_half_step(psi0, gates, tp)
+        phi_m, e_phi0 = ising_half_step(phi0, gates, tp)
+
+        def block_fn(carry, _):
+            psi, phi = carry
+            e_tot = jnp.zeros((), psi.lam.dtype)
+            for _i in range(m):
+                psi, e1 = floquet_period_merged(psi, gates, tp)
+                phi, e2 = floquet_period_merged(phi, gates, tp)
+                e_tot = e_tot + e1 + e2
+            c = cross_sz_profile(phi, psi)
+            out = dict(zz2t_re=c.re, zz2t_im=c.im,
+                       max_chi=max_bond_dimension(psi), trunc_err=e_tot)
+            return (psi, phi), out
+
+        (psi_m, phi_m), traces = jax.lax.scan(block_fn, (psi_m, phi_m),
+                                              None, length=n_meas)
+        psi_final, e_exit = ising_half_step_inverse(psi_m, gates, tp)
+        traces["trunc_err_boundary"] = e_psi0 + e_phi0 + e_exit
+        return psi_final, traces
+
+    def block_fn(carry, _):
+        psi, phi = carry
+        e_tot = jnp.zeros((), psi.lam.dtype)
+        for _i in range(m):
+            psi, e1 = floquet_period(psi, gates, tp)
+            phi, e2 = floquet_period(phi, gates, tp)
+            e_tot = e_tot + e1 + e2
+        c = cross_sz_profile(phi, psi)
+        out = dict(zz2t_re=c.re, zz2t_im=c.im,
+                   max_chi=max_bond_dimension(psi), trunc_err=e_tot)
+        return (psi, phi), out
+
+    (psi_final, _), traces = jax.lax.scan(block_fn, (psi0, phi0), None,
+                                          length=n_meas)
+    traces["trunc_err_boundary"] = jnp.zeros((), psi0.lam.dtype)
+    return psi_final, traces
+
+
 def _initial_observables(psi0: MPS, correlation_site: int | None = None) -> dict:
     from ..core.observables import zz_correlation_profile
 

@@ -129,3 +129,49 @@ def batched_subharmonic_amplitude(times: jax.Array, series: jax.Array,
     finite = (jnp.all(jnp.isfinite(series), axis=-1)
               & jnp.isfinite(dt) & (dt > 0))
     return jnp.where(finite, out, jnp.nan)
+
+
+def spacetime_power(c_rt: jax.Array, window_time: bool = True,
+                    remove_dc: bool = True) -> jax.Array:
+    """|DFT_{t -> omega, r -> k} C|^2 of a real space-time map, on device.
+
+    The 2D DFT is two chained matmul DFT panels (time axis first, then the
+    space axis on the complex intermediate via real-pair arithmetic -- the
+    axon backend has no complex dtypes).  Only the positive-frequency time
+    bins 1..(n_t-1)//2 are produced (the real-input spectrum is conjugate
+    symmetric; the sliced panels halve the matmul flops exactly as
+    ``_subharm_core`` does); all L momentum bins are kept (the spatial
+    signal is complex after the time DFT, so k and -k are independent).
+
+    Args:
+      c_rt: [..., n_t, L] real map, e.g. traces["zz_corr"] from
+        evolve_floquet_scan(correlation_site=i).
+      window_time: apply a Hann window along time (the spectral-toolkit
+        convention; reference main.py:598-603 recipe).
+      remove_dc: subtract the per-r time mean first (isolates the dynamic
+        response; the static AF order otherwise swamps the omega > 0 bins).
+
+    Returns [..., n_pos, L] power with n_pos = (n_t - 1) // 2; time bin f
+    (1-indexed) is frequency f / (n_t * dt), momentum bin m is
+    k = 2 pi m / L.
+    """
+    c_rt = jnp.asarray(c_rt)
+    n_t, L = c_rt.shape[-2], c_rt.shape[-1]
+    x = c_rt
+    if remove_dc:
+        x = x - jnp.mean(x, axis=-2, keepdims=True)
+    if window_time:
+        x = x * jnp.asarray(np.hanning(n_t), x.dtype)[..., :, None]
+    n_pos = (n_t - 1) // 2
+    cos_t, sin_t = _dft_matrices_cached(int(n_t), jnp.dtype(x.dtype).name,
+                                        1, n_pos + 1)
+    # time DFT: contract the n_t axis -> [..., n_pos, L]
+    re = jnp.einsum("...tr,tf->...fr", x, cos_t, precision="highest")
+    im = -jnp.einsum("...tr,tf->...fr", x, sin_t, precision="highest")
+    # space DFT of the complex intermediate: (re + i im)(cos - i sin)
+    cos_r, sin_r = _dft_matrices(L, x.dtype)
+    re2 = (jnp.einsum("...fr,rk->...fk", re, cos_r, precision="highest")
+           + jnp.einsum("...fr,rk->...fk", im, sin_r, precision="highest"))
+    im2 = (jnp.einsum("...fr,rk->...fk", im, cos_r, precision="highest")
+           - jnp.einsum("...fr,rk->...fk", re, sin_r, precision="highest"))
+    return re2 * re2 + im2 * im2
