@@ -107,7 +107,7 @@ def correlator_map() -> None:
     h = draw_disorder_batch(jax.random.PRNGKey(1), R, L, 0.3)
     tr = evolve_batch(h, jnp.full((R,), 1.0),
                       jnp.asarray(_basis_indices(L, "neel")), spec,
-                      correlation_site=site)
+                      correlation_site=site, two_time_anchor=site)
     c_rt = np.asarray(tr["zz_corr"]).mean(axis=0)     # [n+1, L]
     print(f"\ndisorder-averaged C(r, t) from site {site} "
           f"(rows t=0, 10, 20 periods):")
@@ -117,26 +117,17 @@ def correlator_map() -> None:
     # momentum-resolved readout: the DTC peak of S(k, omega) sits at
     # k = pi (staggered order) and the bin closest to half the drive
     # frequency (period doubling).  The TWO-TIME map <sz_i(0) sz_j(t)>
-    # carries the subharmonic at O(1) weight (the equal-time map above is
-    # nearly static in a DTC -- both spins flip together).
-    from timecrystal_tpu.core.mps import create_initial_state
+    # (two_time_anchor above, evolved in the same batched program) carries
+    # the subharmonic at O(1) weight -- the equal-time map is nearly
+    # static in a DTC since both spins flip together.
     from timecrystal_tpu.core.observables import dynamic_structure_factor
-    from timecrystal_tpu.dynamics.tebd import evolve_two_time_zz
-    from timecrystal_tpu.models.kicked_ising import (
-        draw_disorder_reference, make_floquet_gates)
 
-    tau, n = 1.0, 20
-    h1 = draw_disorder_reference(L, 0.3, 7)
-    gates = make_floquet_gates(1.0, jnp.asarray(h1, jnp.float32), tau,
-                               theta=0.97 * float(np.pi), dtype=jnp.float32)
-    psi0 = create_initial_state(L, "neel", chi=32, dtype=jnp.float32)
-    _, tr2 = evolve_two_time_zz(psi0, gates, n,
-                                TruncParams(chi_max=0, svd_min=1e-7),
-                                anchor=site)
-    times = (np.arange(n) + 1) * 2 * tau
-    freqs, ks, S = dynamic_structure_factor(times, tr2["zz2t_re"])
+    tau = 1.0
+    c2t = np.asarray(tr["zz2t_re"]).mean(axis=0)      # [n+1, L]
+    times = np.arange(1, c2t.shape[0]) * 2 * tau
+    freqs, ks, S = dynamic_structure_factor(times, c2t[1:])
     fi, ki = np.unravel_index(np.argmax(np.asarray(S)), S.shape)
-    print(f"S(k, omega) peak of the two-time C(r, t): "
+    print(f"S(k, omega) peak of the disorder-averaged two-time C(r, t): "
           f"k = {ks[ki]:.3f} (pi = {np.pi:.3f}), f = {freqs[fi]:.3f} "
           f"(top bin below f_drive/2 = {1 / (4 * tau):.3f})")
 

@@ -357,6 +357,49 @@ class TestEnsembleCorrelationTraces:
         np.testing.assert_allclose(np.asarray(sharded["zz_corr"]),
                                    np.asarray(tr["zz_corr"]), atol=1e-12)
 
+    def test_batch_two_time_matches_single_and_sharded(self):
+        """evolve_batch(two_time_anchor=i): per-realization zz2t traces
+        equal the single-chain evolve_two_time_zz driver (rows after the
+        prepended t=0 equal-time profile), sharded == unsharded."""
+        from timecrystal_tpu.core.mps import create_initial_state
+        from timecrystal_tpu.core.observables import zz_correlation_profile
+        from timecrystal_tpu.dynamics.tebd import evolve_two_time_zz
+        from timecrystal_tpu.models.kicked_ising import make_floquet_gates
+
+        spec = _spec(L=8, chi=16, n=5)
+        anchor = 3
+        hf = np.stack([np.random.RandomState(s).uniform(-0.3, 0.3, spec.L)
+                       for s in (1, 2, 3)])
+        taus = jnp.asarray([1.0, 1.2, 0.9])
+        basis = _basis_indices(spec.L, "neel")
+        tr = evolve_batch(jnp.asarray(hf), taus, jnp.asarray(basis), spec,
+                          two_time_anchor=anchor)
+        assert tr["zz2t_re"].shape == (3, spec.n_periods + 1, spec.L)
+
+        psi0 = create_initial_state(spec.L, "neel", chi=spec.chi,
+                                    dtype=jnp.float64)
+        gates = make_floquet_gates(1.0, jnp.asarray(hf[1], jnp.float64),
+                                   float(taus[1]), theta=spec.theta,
+                                   dtype=jnp.float64)
+        _, ref = evolve_two_time_zz(psi0, gates, spec.n_periods, TP,
+                                    anchor=anchor)
+        np.testing.assert_allclose(np.asarray(tr["zz2t_re"][1][1:]),
+                                   np.asarray(ref["zz2t_re"]), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(tr["zz2t_im"][1][1:]),
+                                   np.asarray(ref["zz2t_im"]), atol=1e-12)
+        # t=0 row: the equal-time profile, imaginary part exactly zero
+        np.testing.assert_allclose(
+            np.asarray(tr["zz2t_re"][1][0]),
+            np.asarray(zz_correlation_profile(psi0, anchor)), atol=1e-14)
+        assert np.all(np.asarray(tr["zz2t_im"][:, 0]) == 0.0)
+
+        sharded = evolve_batch_sharded(jnp.asarray(hf), taus, basis, spec,
+                                       Mesh(np.asarray(jax.devices()),
+                                            ("batch",)),
+                                       two_time_anchor=anchor)
+        np.testing.assert_allclose(np.asarray(sharded["zz2t_re"]),
+                                   np.asarray(tr["zz2t_re"]), atol=1e-12)
+
     def test_staged_rejects_correlation_site(self):
         import pytest
 

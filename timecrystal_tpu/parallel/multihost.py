@@ -115,7 +115,8 @@ def gather(tree):
 def evolve_batch_multihost(h_fields, taus, basis_indices, spec: SweepSpec,
                            mesh: Mesh | None = None,
                            axis_name: str = "batch",
-                           correlation_site: int | None = None):
+                           correlation_site: int | None = None,
+                           two_time_anchor: int | None = None):
     """Fixed-chi batched Floquet evolution sharded over the GLOBAL mesh.
 
     The multi-host analog of ``parallel.sweep.evolve_batch_sharded``: same
@@ -142,7 +143,8 @@ def evolve_batch_multihost(h_fields, taus, basis_indices, spec: SweepSpec,
     taus_g = shard_batch(taus, mesh, axis_name)
     basis_g = replicate(np.asarray(basis_indices), mesh)
     out = evolve_batch(h_g, taus_g, basis_g, spec,
-                       correlation_site=correlation_site)
+                       correlation_site=correlation_site,
+                       two_time_anchor=two_time_anchor)
     out = gather(out)
     return {k: v[:R] for k, v in out.items()}
 

@@ -50,14 +50,21 @@ class SweepSpec(NamedTuple):
 
 
 def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec,
-                correlation_site: int | None = None):
+                correlation_site: int | None = None,
+                two_time_anchor: int | None = None):
     """Evolve one realization; pure jnp (h_fields, tau may be traced).
 
     ``correlation_site=i`` adds a zz_corr [n+1, L] trace (the full
     <sz_i sz_j> profile per period, observables.zz_correlation_profile)
     -- vmapped over the batch this yields disorder-averaged C(r, t) maps
-    entirely on device.  Exact in both frames (z-diagonal)."""
-    from ..core.observables import zz_correlation_profile
+    entirely on device.  Exact in both frames (z-diagonal).
+
+    ``two_time_anchor=i`` adds zz2t_re / zz2t_im [n+1, L] traces: the
+    TWO-TIME correlator <sz_i(0) sz_j(t)> (the standard period-doubling
+    diagnostic, dynamics.tebd.evolve_two_time_zz), evolving the auxiliary
+    state sz_i|psi0> alongside (2x the evolution cost).  Also exact in
+    both frames (the half-step frame change is z-diagonal)."""
+    from ..core.observables import cross_sz_profile, zz_correlation_profile
     from ..models.kicked_ising import (floquet_period, floquet_period_merged,
                                        ising_half_step)
 
@@ -69,18 +76,27 @@ def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec,
     L = spec.L
     signs = jnp.asarray(np.where(np.arange(L) % 2 == 0, 1.0, -1.0), dtype)
 
+    two_time = two_time_anchor is not None
     merged = spec.frame == "merged"
+    phi_start = None
+    if two_time:
+        from ..core.mps import apply_sz
+
+        phi_start = apply_sz(psi0, two_time_anchor)
     if merged:
         # half-step frame: sz and LE traces are exact, entropy/chi traces
         # belong to the half-step-shifted state (kicked_ising.
         # floquet_period_merged docstring).
         psi_start, _ = ising_half_step(psi0, gates, spec.tp)
         ref_state = psi_start
+        if two_time:
+            phi_start, _ = ising_half_step(phi_start, gates, spec.tp)
     else:
         psi_start = psi0
         ref_state = psi0
 
-    def period_fn(psi, _):
+    def period_fn(carry, _):
+        psi, phi = carry
         if merged:
             psi, err = floquet_period_merged(psi, gates, spec.tp)
         else:
@@ -93,10 +109,17 @@ def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec,
                    entropy_mid=ent_mid, trunc_err=err)
         if correlation_site is not None:
             out["zz_corr"] = zz_correlation_profile(psi, correlation_site)
-        return psi, out
+        if two_time:
+            if merged:
+                phi, _ = floquet_period_merged(phi, gates, spec.tp)
+            else:
+                phi, _ = floquet_period(phi, gates, spec.tp)
+            c = cross_sz_profile(phi, psi)
+            out["zz2t_re"], out["zz2t_im"] = c.re, c.im
+        return (psi, phi), out
 
-    psi_final, tr = jax.lax.scan(period_fn, psi_start, None,
-                                 length=spec.n_periods)
+    (psi_final, _), tr = jax.lax.scan(period_fn, (psi_start, phi_start),
+                                      None, length=spec.n_periods)
     # prepend t=0 observables
     sz0 = expectation_one_site(psi0, sz_op).re
     tr["sz_sites"] = jnp.concatenate([sz0[None], tr["sz_sites"]], axis=0)
@@ -108,14 +131,22 @@ def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec,
     if correlation_site is not None:
         zz0 = zz_correlation_profile(psi0, correlation_site)
         tr["zz_corr"] = jnp.concatenate([zz0[None], tr["zz_corr"]], axis=0)
+    if two_time:
+        # t=0: the two-time and equal-time profiles coincide (real)
+        c0 = zz_correlation_profile(psi0, two_time_anchor)
+        tr["zz2t_re"] = jnp.concatenate([c0[None], tr["zz2t_re"]], axis=0)
+        tr["zz2t_im"] = jnp.concatenate([jnp.zeros((1, L), dtype),
+                                         tr["zz2t_im"]], axis=0)
     tr["magnetization"] = tr["sz_sites"].sum(axis=-1)
     tr["staggered_magnetization"] = (tr["sz_sites"] * signs[None]).sum(axis=-1) / L
     return tr
 
 
-@partial(jax.jit, static_argnames=("spec", "correlation_site"))
+@partial(jax.jit, static_argnames=("spec", "correlation_site",
+                                   "two_time_anchor"))
 def evolve_batch(h_fields: jax.Array, taus: jax.Array, basis_indices: jax.Array,
-                 spec: SweepSpec, correlation_site: int | None = None):
+                 spec: SweepSpec, correlation_site: int | None = None,
+                 two_time_anchor: int | None = None):
     """vmapped Floquet evolution over a batch of realizations.
 
     Args:
@@ -126,12 +157,16 @@ def evolve_batch(h_fields: jax.Array, taus: jax.Array, basis_indices: jax.Array,
       correlation_site: when set, traces gain zz_corr [R, n+1, L] -- the
         <sz_i sz_j> profile per realization per period (disorder-averaged
         C(r, t) maps are one mean over axis 0).
+      two_time_anchor: when set, traces gain zz2t_re / zz2t_im
+        [R, n+1, L] -- the two-time correlator <sz_i(0) sz_j(t)> per
+        realization (_traces_one docstring; 2x the evolution cost).
 
     Returns a dict of stacked traces with leading batch axis [R, ...].
     """
     spec = _resolve_svd_method(spec, h_fields.shape[0])
     return jax.vmap(lambda h, t: _traces_one(h, t, basis_indices, spec,
-                                             correlation_site))(h_fields, taus)
+                                             correlation_site,
+                                             two_time_anchor))(h_fields, taus)
 
 
 def _resolve_svd_method(spec: SweepSpec, R: int) -> SweepSpec:
@@ -498,7 +533,8 @@ def default_mesh(axis_name: str = "batch", devices=None) -> Mesh:
 
 def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
                          mesh: Mesh | None = None, axis_name: str = "batch",
-                         correlation_site: int | None = None):
+                         correlation_site: int | None = None,
+                         two_time_anchor: int | None = None):
     """Shard the realization batch over the device mesh.
 
     The batch is padded up to a multiple of the mesh size (padded entries are
@@ -517,13 +553,15 @@ def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
 
         return evolve_batch_multihost(h_fields, taus, basis_indices, spec,
                                       mesh=mesh, axis_name=axis_name,
-                                      correlation_site=correlation_site)
+                                      correlation_site=correlation_site,
+                                      two_time_anchor=two_time_anchor)
     R = int(h_fields.shape[0])
     h_fields, taus, _ = _pad_to_mesh(h_fields, taus, mesh, axis_name)
     basis_indices = jax.device_put(jnp.asarray(basis_indices),
                                    NamedSharding(mesh, P()))
     out = evolve_batch(h_fields, taus, basis_indices, spec,
-                       correlation_site=correlation_site)
+                       correlation_site=correlation_site,
+                       two_time_anchor=two_time_anchor)
     return {k: v[:R] for k, v in out.items()}
 
 
