@@ -262,7 +262,11 @@ from timecrystal_tpu.core.truncate import TruncParams
 from timecrystal_tpu.models.kicked_ising import draw_disorder_batch
 from timecrystal_tpu.parallel.sweep import (SweepSpec, _basis_indices,
                                             evolve_batch, evolve_batch_auto)
-L, chi, n, R = 16, 64, 12, 2
+# n=24 periods so the Schmidt rank (16 at period ~11, 63 by period 24 at
+# svd_min=1e-7) outgrows the chi>=16 device-backend floor applied by
+# evolve_batch_auto (sweep.py: gram_eigh guard) -- 12 periods stopped
+# exercising staging once that floor landed (rank never left chi_pad=16).
+L, chi, n, R = 16, 64, 24, 2
 tp = TruncParams(chi_max=0, svd_min=1e-7)
 spec = SweepSpec(L=L, chi=chi, n_periods=n, theta=0.9 * float(np.pi),
                  tp=tp, dtype="float32", frame="merged")
