@@ -87,6 +87,35 @@ def sz_expectations(psi: np.ndarray, L: int) -> np.ndarray:
     return out
 
 
+def long_range_floquet_unitary(L: int, couplings_r: np.ndarray,
+                               h_fields: np.ndarray, tau: float,
+                               theta: float = np.pi) -> np.ndarray:
+    """Dense U_F for the LONG-RANGE kicked Ising (clean semantics, no
+    double-counting quirk): H_z = sum_r couplings_r[r-1] sum_i z_i z_{i+r}
+    + sum_i h_i z_i is diagonal, so the half-step is a diagonal phase.
+
+    ``couplings_r``: J(r) for r = 1..L-1 -- pass the exponential-sum
+    FITTED table (models.long_range.fitted_couplings) to isolate the
+    TDVP integrator error from the fit error.
+    """
+    import scipy.linalg
+
+    idx = np.arange(2 ** L)
+    # bit b of the index = site b (big-endian kron order); 0 == up == +1
+    s = 1.0 - 2.0 * ((idx[:, None] >> np.arange(L - 1, -1, -1)[None, :]) & 1)
+    E = s @ np.asarray(h_fields, dtype=np.float64)
+    for r in range(1, L):
+        Jr = float(couplings_r[r - 1])
+        if Jr != 0.0:
+            E = E + Jr * np.sum(s[:, :-r] * s[:, r:], axis=1)
+    half = np.exp(-1j * tau / 2 * E)          # diagonal phases
+    pulse = scipy.linalg.expm(-1j * theta / 2 * SX)
+    kick = np.eye(1, dtype=complex)
+    for _ in range(L):
+        kick = np.kron(kick, pulse)
+    return half[:, None] * (kick * half[None, :])
+
+
 def evolve_exact(L: int, J: float, h_fields: np.ndarray, tau: float,
                  n_periods: int, basis_indices=None, theta: float = np.pi,
                  backend: str = "auto"):

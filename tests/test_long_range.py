@@ -1,0 +1,182 @@
+"""Long-range kicked-Ising extension (timecrystal_tpu/models/long_range.py).
+
+The reference abstract advertises an interaction-range axis its code
+never implements (/root/reference/README.md:19 vs
+src/models/kicked_ising.py:73-98); these tests validate the TPU-native
+implementation against a dense diagonal-phase oracle (clean semantics,
+no quirk replication).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from tests.exact_reference import (long_range_floquet_unitary, neel_indices,
+                                   product_statevector, sz_expectations)
+from timecrystal_tpu.core.mps import create_initial_state
+from timecrystal_tpu.models.long_range import (LongRangeKickedIsing,
+                                               build_fsm_mpo,
+                                               fit_power_law_exponentials,
+                                               fitted_couplings,
+                                               long_range_ising_mpo,
+                                               power_law_couplings)
+
+
+def _mpo_to_dense(mpo) -> np.ndarray:
+    """Contract an MPO to its dense operator (small L only)."""
+    W = np.asarray(mpo.W.re, np.float64) + 1j * np.asarray(mpo.W.im, np.float64)
+    L, Dw, _, d, _ = W.shape
+    acc = W[0][Dw - 1]                                   # [Dw, d, d]
+    for i in range(1, L):
+        m = acc.shape[1]
+        acc = np.einsum("wmn,wvpq->vmpnq", acc, W[i]).reshape(
+            Dw, m * d, m * d)
+    return acc[0]
+
+
+def _dense_hz(L, couplings_r, h_fields) -> np.ndarray:
+    idx = np.arange(2 ** L)
+    s = 1.0 - 2.0 * ((idx[:, None] >> np.arange(L - 1, -1, -1)[None, :]) & 1)
+    E = s @ np.asarray(h_fields, np.float64)
+    for r in range(1, L):
+        if couplings_r[r - 1] != 0.0:
+            E = E + couplings_r[r - 1] * np.sum(s[:, :-r] * s[:, r:], axis=1)
+    return np.diag(E)
+
+
+class TestExponentialFit:
+    def test_accuracy_across_alpha(self):
+        for alpha, bound in ((0.5, 2e-5), (1.0, 1e-5), (1.5, 2e-5),
+                             (2.0, 5e-5), (3.0, 5e-4)):
+            _, lam, rel = fit_power_law_exponentials(alpha, 64, n_exp=12)
+            assert rel < bound, (alpha, rel)
+            assert np.all((lam > 0) & (lam < 1))
+
+    def test_fitted_couplings_match_power_law(self):
+        table = fitted_couplings(40, 2.0, 1.5)
+        exact = power_law_couplings(40, 2.0, 1.5)
+        assert np.max(np.abs(table - exact) / exact) < 2e-5
+
+    def test_nearest_neighbor_table(self):
+        table = power_law_couplings(10, 1.3, None)
+        assert table[0] == 1.3 and np.all(table[1:] == 0)
+        assert np.array_equal(fitted_couplings(10, 1.3, None), table)
+
+    def test_invalid_alpha_raises(self):
+        with pytest.raises(ValueError):
+            fit_power_law_exponentials(-1.0, 32)
+
+
+class TestFsmMpo:
+    def test_dense_equals_hamiltonian(self):
+        """FSM MPO contracts to exactly the fitted long-range H_z."""
+        L, J, alpha = 6, 1.0, 1.2
+        rng = np.random.default_rng(3)
+        h = rng.uniform(-0.4, 0.4, L)
+        mpo, rel = long_range_ising_mpo(L, J, alpha, h, n_exp=10,
+                                        dtype=jnp.float64)
+        dense = _mpo_to_dense(mpo)
+        expect = _dense_hz(L, fitted_couplings(L, J, alpha, n_exp=10), h)
+        assert np.max(np.abs(dense - expect)) < 1e-12
+        assert rel < 1e-3
+
+    def test_nearest_neighbor_channel(self):
+        """lam=0 channel couples distance-1 pairs only."""
+        L = 5
+        SZ = np.diag([1.0, -1.0])
+        mpo = build_fsm_mpo(L, [(0.7, 0.0, SZ, SZ)], None, dtype=jnp.float64)
+        dense = _mpo_to_dense(mpo)
+        table = np.zeros(L - 1)
+        table[0] = 0.7
+        expect = _dense_hz(L, table, np.zeros(L))
+        assert np.max(np.abs(dense - expect)) < 1e-14
+
+    def test_onsite_list_length_check(self):
+        SZ = np.diag([1.0, -1.0])
+        with pytest.raises(ValueError):
+            build_fsm_mpo(4, [(1.0, 0.5, SZ, SZ)], [SZ] * 3)
+
+
+class TestLongRangeFloquet:
+    def test_traces_match_dense_oracle(self):
+        """10 Floquet periods at L=8 vs the dense diagonal-phase oracle
+        (fitted couplings in the oracle: isolates integrator error)."""
+        L, J, alpha, tau = 8, 1.0, 1.3, 0.4
+        model = LongRangeKickedIsing(L, J, 0.3, tau, alpha=alpha,
+                                     disorder_seed=42, chi=16,
+                                     substeps=2, dtype=jnp.float64)
+        psi0 = create_initial_state(L, "neel", chi=16, dtype=jnp.float64)
+        traces, times, info = model.evolve(psi0, 10)
+
+        table = fitted_couplings(L, J, alpha, n_exp=model.n_exp)
+        U = long_range_floquet_unitary(L, table, model.h_fields, tau)
+        psi = product_statevector(neel_indices(L))
+        psi0_dense = psi.copy()
+        sz_ref, le_ref = [sz_expectations(psi, L)], [1.0]
+        for _ in range(10):
+            psi = U @ psi
+            sz_ref.append(sz_expectations(psi, L))
+            le_ref.append(abs(np.vdot(psi0_dense, psi)) ** 2)
+        sz_ref = np.asarray(sz_ref)
+
+        assert np.max(np.abs(traces["sz_sites"] - sz_ref)) < 1e-6
+        assert np.max(np.abs(traces["loschmidt_echo"]
+                             - np.asarray(le_ref))) < 1e-6
+        assert np.allclose(times, np.arange(11) * 2 * tau)
+        assert info["fit_rel_err"] < 1e-3
+
+    def test_nearest_neighbor_limit(self):
+        """alpha=None evolves exactly the clean nearest-neighbor chain."""
+        L, J, tau = 6, 1.0, 0.5
+        rng = np.random.default_rng(11)
+        h = rng.uniform(-0.3, 0.3, L)
+        model = LongRangeKickedIsing(L, J, 0.3, tau, alpha=None, h_fields=h,
+                                     chi=8, substeps=2, dtype=jnp.float64)
+        assert model.fit_rel_err == 0.0
+        psi0 = create_initial_state(L, "neel", chi=8, dtype=jnp.float64)
+        traces, _, _ = model.evolve(psi0, 8)
+
+        U = long_range_floquet_unitary(L, power_law_couplings(L, J, None),
+                                       h, tau)
+        psi = product_statevector(neel_indices(L))
+        sz_ref = [sz_expectations(psi, L)]
+        for _ in range(8):
+            psi = U @ psi
+            sz_ref.append(sz_expectations(psi, L))
+        assert np.max(np.abs(traces["sz_sites"] - np.asarray(sz_ref))) < 1e-7
+
+    def test_generalized_kick(self):
+        """theta != pi routes the x-rotation kick."""
+        L, tau, theta = 6, 0.4, 0.92 * np.pi
+        model = LongRangeKickedIsing(L, 1.0, 0.2, tau, alpha=2.0,
+                                     disorder_seed=7, theta=theta,
+                                     chi=12, substeps=2, dtype=jnp.float64)
+        psi0 = create_initial_state(L, "neel", chi=12, dtype=jnp.float64)
+        traces, _, _ = model.evolve(psi0, 5)
+        table = fitted_couplings(L, 1.0, 2.0, n_exp=model.n_exp)
+        U = long_range_floquet_unitary(L, table, model.h_fields, tau,
+                                       theta=theta)
+        psi = product_statevector(neel_indices(L))
+        for _ in range(5):
+            psi = U @ psi
+        # theta != pi leaves a genuine non-commuting kick: the TDVP sweep's
+        # O(dt) splitting error dominates (measured 1.4e-5 at substeps=2,
+        # halving per substep doubling) -- this is an integrator-class
+        # gate, not a 1e-8 parity gate
+        assert np.max(np.abs(traces["sz_sites"][-1]
+                             - sz_expectations(psi, L))) < 5e-5
+
+    def test_dtc_signature_survives_range(self):
+        """Period doubling (staggered sign flip per period) persists at
+        alpha = 1.5 in the DTC regime -- the physics the axis is for."""
+        L = 8
+        model = LongRangeKickedIsing(L, 1.0, 0.25, 2.0, alpha=1.5,
+                                     disorder_seed=42, chi=32,
+                                     substeps=4, dtype=jnp.float64)
+        psi0 = create_initial_state(L, "neel", chi=32, dtype=jnp.float64)
+        traces, _, _ = model.evolve(psi0, 6)
+        stag = traces["staggered_magnetization"]
+        # Neel start: staggered ~ +1, flipping sign every period
+        signs = np.sign(stag)
+        assert np.all(signs == np.asarray([1, -1, 1, -1, 1, -1, 1]))
+        assert np.min(np.abs(stag)) > 0.5
