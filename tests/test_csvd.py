@@ -445,6 +445,143 @@ class TestJacobiProj:
                                    atol=1e-5)
 
 
+class TestJacobiCore:
+    """Core-matrix projected top-k SVD (jacobi_core): both subspace bases
+    by polynomial polar, one Jacobi run on the k x k core (interpret mode
+    on CPU; timing/accuracy on real thetas in
+    baselines/polar_core_experiment.py, closed-loop physics gating in
+    baselines/jacobi_core_closedloop.py)."""
+
+    def _core(self, M, k, **kw):
+        from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_core
+        S, V, disc = jacobi_core(_to_c(M), k, interpret=True, **kw)
+        return np.asarray(S), cpx.to_numpy(V), np.asarray(disc)
+
+    @staticmethod
+    def _rng():
+        # local generator: the shared module RNG makes these draw-
+        # sensitive bounds depend on test ORDER
+        return np.random.default_rng(0xC04E)
+
+    def test_flat_spectrum_capture_bounds(self):
+        """Variational bounds on the worst case (flat random spectrum):
+        S <= true S elementwise, disc >= true disc, V orthonormal."""
+        rng = self._rng()
+        n, k = 32, 16
+        M = (rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))) / np.sqrt(n)
+        S, V, disc = self._core(M, k)
+        s_ref = np.linalg.svd(M, compute_uv=False)
+        assert np.all(S <= s_ref[:k] * (1 + 1e-5)), "restriction bound"
+        # flat spectra under-read by design (tail weight ~ kept weight);
+        # the HARD guarantees are the variational bounds above/below
+        np.testing.assert_allclose(S[:4], s_ref[:4], rtol=0.15)
+        G = V.conj().T @ V
+        assert np.max(np.abs(G - np.eye(k))) < 1e-5
+        assert disc >= np.sum(s_ref[k:] ** 2) * (1 - 1e-6)
+
+    def test_decaying_spectrum(self):
+        """Steep spectrum (production regime): top-k tight; theta V column
+        norms reproduce S."""
+        rng = self._rng()
+        n, k = 64, 32
+        q1, _ = np.linalg.qr(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        q2, _ = np.linalg.qr(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        M = (q1 * np.logspace(0, -8, n)) @ q2.conj().T
+        S, V, disc = self._core(M, k)
+        s_ref = np.linalg.svd(M, compute_uv=False)
+        assert np.max(np.abs(S - s_ref[:k])) / s_ref[0] < 5e-5
+        P = M @ V
+        np.testing.assert_allclose(np.sqrt((np.abs(P) ** 2).sum(0)), S,
+                                   atol=5e-5)
+        d_true = np.sum(s_ref[k:] ** 2)
+        assert abs(disc - d_true) / np.sum(s_ref ** 2) < 1e-5
+
+    def test_rank_deficient(self):
+        """rank < k: p(0) = 0 keeps null directions exactly zero; their
+        sigmas floor-zero in the core Jacobi."""
+        rng = self._rng()
+        n, r, k = 32, 5, 16
+        A = rng.normal(size=(n, r)) + 1j * rng.normal(size=(n, r))
+        Bv = rng.normal(size=(r, n)) + 1j * rng.normal(size=(r, n))
+        M = (A @ Bv) / n
+        S, V, disc = self._core(M, k)
+        s_ref = np.linalg.svd(M, compute_uv=False)
+        np.testing.assert_allclose(S[:r], s_ref[:r], atol=1e-5)
+        assert np.all(S[r:] < 1e-5 * s_ref[0])
+
+    def test_batched_and_rectangular(self):
+        """Rectangular batch: core matches jacobi_proj on the SAME
+        matrices (they share the fixed basis and the one-power capture,
+        so their leak is identical -- the production claim is equal
+        accuracy class at half the rotation cost) plus the bulk stays
+        tight vs LAPACK."""
+        rng = self._rng()
+        from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_proj
+        n, m, k = 24, 16, 8
+        mats = []
+        for _ in range(3):
+            qa = np.linalg.qr(rng.normal(size=(m, m))
+                              + 1j * rng.normal(size=(m, m)))[0]
+            qb = np.linalg.qr(rng.normal(size=(n, n))
+                              + 1j * rng.normal(size=(n, n)))[0]
+            mats.append((qa * np.logspace(0, -8, m)) @ qb[:m].conj())
+        M = np.stack(mats)
+        S, V, disc = self._core(M, k)
+        s_ref = np.linalg.svd(M, compute_uv=False)
+        assert S.shape == (3, k) and V.shape == (3, n, k)
+        S_proj = np.asarray(jacobi_proj(_to_c(M), k, polish=k,
+                                        interpret=True)[0])
+        np.testing.assert_allclose(S, S_proj, rtol=1e-3, atol=1e-7)
+        # bulk (boundary values carry the shared capture leak at this
+        # tiny m; draw-dependent up to ~1e-4 -- tested via S_proj above)
+        assert np.max(np.abs(S[:, :k - 2] - s_ref[:, :k - 2])) / s_ref.max() < 5e-5
+
+    def test_multi_lead_dims(self):
+        rng = self._rng()
+        from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_core, jacobi_proj
+        n, k = 8, 4
+        base = (rng.standard_normal((2, 2, n, n))
+                + 1j * rng.standard_normal((2, 2, n, n)))
+        u, s, vh = np.linalg.svd(base)
+        s = np.geomspace(1.0, 1e-6, n)[None, None, :] * np.ones((2, 2, 1))
+        M = u @ (s[..., :, None] * vh)
+        S, V, disc = jacobi_core(_to_c(M), k, interpret=True)
+        assert S.shape == (2, 2, k) and V.re.shape == (2, 2, n, k)
+        Sn = np.asarray(S)
+        S_proj = np.asarray(jacobi_proj(_to_c(M), k, polish=k,
+                                        interpret=True)[0])
+        np.testing.assert_allclose(Sn, S_proj, rtol=1e-3, atol=1e-7)
+        for i in range(2):
+            for j in range(2):
+                # variational restriction bound + tight bulk (the k-1
+                # boundary value carries the shared capture leak at n=8)
+                assert np.all(Sn[i, j] <= s[0, 0, :k] * (1 + 1e-6))
+                np.testing.assert_allclose(Sn[i, j][:k - 1],
+                                           s[0, 0, :k - 1], rtol=5e-3)
+
+    def test_csvd_topk_jacobi_core_method(self):
+        """csvd_topk(method='jacobi_core') routes the kernel (interpret on
+        CPU) and matches native top-k on a steep spectrum; odd k falls back
+        to the full Jacobi path instead of crashing."""
+        rng = self._rng()
+        from timecrystal_tpu.ops.csvd import csvd_topk
+        n, k = 32, 16
+        q1, _ = np.linalg.qr(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        q2, _ = np.linalg.qr(rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n)))
+        M = ((q1 * np.logspace(0, -8, n)) @ q2.conj().T)[None]
+        S_ref, Vh_ref, disc_ref = csvd_topk(_to_c(M), k, method="native")
+        S, Vh, disc = csvd_topk(_to_c(M), k, method="jacobi_core")
+        np.testing.assert_allclose(np.asarray(S), np.asarray(S_ref),
+                                   atol=1e-4)
+        assert abs(float(disc[0]) - float(disc_ref[0])) < 1e-5
+        assert Vh.re.shape == (1, k, n)
+        # odd k: unsupported by the core path -> silent jacobi fallback
+        S_odd, _, _ = csvd_topk(_to_c(M), 15, method="jacobi_core")
+        np.testing.assert_allclose(
+            np.asarray(S_odd),
+            np.linalg.svd(M[0], compute_uv=False)[None, :15], atol=1e-6)
+
+
 class TestRoutingAndShapes:
     """Round-3 review fixes: method validation, multi-leading-dim batching
     for the jacobi family, batch-hoisted degeneracy fallback, heigh guard."""

@@ -448,6 +448,26 @@ def csvd_topk(theta: C, k: int, method: str = "auto",
             return S, Vh, disc
         method = "jacobi"
 
+    if method == "jacobi_core":
+        # Core-matrix projected SVD (ops/pallas/jacobi_svd.jacobi_core):
+        # both subspace bases by polynomial polar (all MXU matmuls), ONE
+        # rotation kernel on the k x k core -- measured 2x jacobi_proj /
+        # 5x jacobi_sv per call at L=40 chi=256 (41 vs 84 vs 205 ms,
+        # baselines/polar_core_experiment.py) with kept-weight
+        # misplacement 1.2e-6.  Same caveat as jacobi_proj: the reported
+        # trunc_err carries the f32 Frobenius noise floor + projection
+        # leak, so it must not drive chi-escalation decisions (the staged
+        # drivers pin 'jacobi' -- sweep._stage_tp).
+        from .pallas.jacobi_svd import jacobi_core
+
+        if k % 2 == 0 and k <= min(m, n):
+            S, V, disc = jacobi_core(theta, k,
+                                     max_sweeps=jacobi_sweeps or None,
+                                     interpret=_interpret_mode())
+            Vh = C(jnp.swapaxes(V.re, -1, -2), -jnp.swapaxes(V.im, -1, -2))
+            return S, Vh, disc
+        method = "jacobi"
+
     if method in ("jacobi", "jacobi_full"):
         # Pallas one-sided Jacobi kernel (whole batch in one call).  The
         # top-k path needs only (S, Vh): the V-free transpose-trick kernel

@@ -575,6 +575,130 @@ def jacobi_proj(theta: C, k: int, max_sweeps: int | None = None,
     return S, V, disc
 
 
+# Muon-class quintic coefficients for _poly_polar: p(x) = a x + b x^3 + c x^5
+# maps (0, 1] toward 1 with slope a at 0 (small sigmas grow ~3.4x per
+# iteration) while |p| stays <= ~1.09 on [0, 1.09]; the cubic NS tail
+# (1.5, -0.5) then contracts the band quadratically to the dtype floor.
+_QUINTIC_A, _QUINTIC_B, _QUINTIC_C = 3.4445, -4.7750, 2.0315
+
+
+def _poly_polar(X: C, q_iters: int, c_iters: int) -> C:
+    """Polynomial polar orthonormalization of X C[B, m, k]: all MXU matmuls.
+
+    Returns W with W^H W ~ I on the span of X's non-null directions; exact
+    zero singular values stay exactly zero (p(0) = 0), so rank deficiency
+    is benign -- unlike the Loewdin (X^H X)^{-1/2} NS-orth that died on it
+    in baselines/rrsvd_experiment.py.  The Frobenius prescale guarantees
+    sigma_max <= 1 at the cost of ~log_3.4(sqrt(k)) extra quintic
+    iterations, which are cheap [k, k] matmuls.
+    """
+    nrm = jnp.sqrt(jnp.sum(cpx.abs2(X), axis=(-2, -1), keepdims=True))
+    inv = jnp.where(nrm > 0, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
+    W = C(X.re * inv, X.im * inv)
+    k = X.re.shape[-1]
+    eye = jnp.eye(k, dtype=X.dtype)
+    for _ in range(q_iters):
+        G = cpx.einsum("...ji,...jk->...ik", W.conj(), W)
+        G2 = cpx.einsum("...ij,...jk->...ik", G, G)
+        coef = C(_QUINTIC_A * eye + _QUINTIC_B * G.re + _QUINTIC_C * G2.re,
+                 _QUINTIC_B * G.im + _QUINTIC_C * G2.im)
+        W = cpx.einsum("...ij,...jk->...ik", W, coef)
+    for _ in range(c_iters):
+        G = cpx.einsum("...ji,...jk->...ik", W.conj(), W)
+        coef = C(1.5 * eye - 0.5 * G.re, -0.5 * G.im)
+        W = cpx.einsum("...ij,...jk->...ik", W, coef)
+    return W
+
+
+@partial(jax.jit, static_argnames=("k", "q_iters", "c_iters", "max_sweeps",
+                                   "tol", "polish_iters", "interpret"))
+def jacobi_core(theta: C, k: int, q_iters: int | None = None,
+                c_iters: int | None = None, max_sweeps: int | None = None,
+                tol: float | None = None, polish_iters: int = 4,
+                interpret: bool = False):
+    """Core-matrix projected top-k SVD: (S [.., k], V C[.., n, k], disc)
+    of theta C[.., m, n] -- the fastest saturated-chi steady-state path
+    (ROADMAP's "all-matmul inner eigensolver" lever, landed).
+
+    ``jacobi_proj`` spends its time in TWO Jacobi runs on [m, k] panels.
+    A plain polynomial polar cannot replace its step 2 one-for-one (the
+    polar's output basis is singular-UNALIGNED, which would push the full
+    sweep cost into step 4) -- but it CAN build both subspace bases, after
+    which ONE Jacobi run on the small k x k core matrix does all the
+    aligning:
+
+      1. T = theta Q0          [m, k]  (fixed generic basis, as jacobi_proj)
+      2. W = _poly_polar(T)    [m, k]  (left-subspace basis, MXU matmuls)
+      3. Y = theta^H W         [n, k]  (second power application: right-
+                                        subspace capture, tail-weight-bound)
+      4. Z = _poly_polar(Y)    [n, k]
+      5. P = theta Z           [m, k]
+      6. K = W^H P             [k, k]  (sigma-weighted restriction: no Gram
+                                        squaring, boundary sigmas stay
+                                        f32-resolvable)
+      7. jacobi(K^H) -> S, Vk          (the ONLY rotation kernel: k-row
+                                        columns = HALF the VMEM rotation
+                                        bytes per sweep of an [2k, k] panel)
+      8. V = Z Vk (+ NS polish).
+
+    Measured on L=40 chi=256 settled thetas ([512, 512] batch of 20,
+    baselines/polar_core_experiment.py): 41 ms vs jacobi_proj's 84 ms and
+    jacobi_sv's 205 ms, kept-weight misplacement 1.2e-6 (BETTER than
+    jacobi_proj's 2.4e-5 on the same check), S err ~4.4e-5 boundary-
+    concentrated.  Rank-deficient inputs are benign (p(0) = 0 keeps null
+    directions zero; the final Jacobi floor-zeros their sigmas) -- V's
+    null columns are exact zeros, masked by truncation downstream like
+    every rotated-column kernel here.  disc includes the projection leak
+    (conservative).  Closed-loop physics gating: see
+    baselines/jacobi_core_closedloop.py and PERFORMANCE.md round 3.
+    """
+    if q_iters is None:
+        # f32: growth log_3.4(prescaled sigma_min^-1) ~ 10 covers the TEBD
+        # steep spectrum (3.6e-5 x sigma_max over sqrt(k) prescale); f64
+        # adds headroom for the deeper noise floor
+        q_iters = 16 if theta.dtype == jnp.float64 else 10
+    if c_iters is None:
+        # cubic tail is quadratically convergent: 4 contracts a ~0.1 band
+        # to the f32 floor, 8 to the f64 floor
+        c_iters = 8 if theta.dtype == jnp.float64 else 4
+    if max_sweeps is None:
+        max_sweeps = 24 if theta.dtype == jnp.float64 else 12
+    if tol is None:
+        # the core matrix K is sigma-aligned only after the Jacobi run;
+        # 1e-6 matches the tuned jacobi_proj class (the NS polish of V
+        # resolves the looser-tol defects, same argument as csvd_topk's
+        # tuned jacobi_proj config)
+        tol = 1e-14 if theta.dtype == jnp.float64 else 1e-6
+    squeeze = theta.ndim == 2
+    if squeeze:
+        theta = C(theta.re[None], theta.im[None])
+    theta, lead, flat = _flatten_lead(theta)
+    Bn0, m, n = theta.re.shape
+    assert k % 2 == 0 and k <= min(m, n), "jacobi_core needs even k <= min(m, n)"
+    Q0 = _fixed_projection_basis(n, k, theta.dtype)
+    T = cpx.einsum("bmn,nk->bmk", theta, Q0)
+    W = _poly_polar(T, q_iters, c_iters)
+    Y = cpx.einsum("bmn,bmk->bnk", theta.conj(), W)
+    Z = _poly_polar(Y, q_iters, c_iters)
+    P = cpx.einsum("bmn,bnk->bmk", theta, Z)
+    K = cpx.einsum("bmk,bml->bkl", W.conj(), P)
+    Kh = C(jnp.swapaxes(K.re, -1, -2), -jnp.swapaxes(K.im, -1, -2))
+    Km = _orthogonalize_columns(Kh, max_sweeps, tol, interpret)
+    S, Vk = _cols_to_sv(Km, polish=0)
+    V = cpx.einsum("bnk,bkl->bnl", Z, Vk)
+    if polish_iters:
+        V = _ns_polish(V, k, iters=polish_iters)
+    disc = jnp.sum(cpx.abs2(theta), axis=(-2, -1)) - jnp.sum(S * S, axis=-1)
+    disc = jnp.maximum(disc, 0.0)
+    if flat:
+        S = _unflatten_lead(S, lead)
+        V = _unflatten_lead(V, lead)
+        disc = _unflatten_lead(disc, lead)
+    if squeeze:
+        S, V, disc = S[0], V[0], disc[0]
+    return S, V, disc
+
+
 @partial(jax.jit, static_argnames=("n_sweeps", "tol", "interpret"))
 def jacobi_svd(theta: C, n_sweeps: int | None = None,
                tol: float | None = None, interpret: bool = False):
