@@ -166,6 +166,19 @@ class TestLongRangeFloquet:
         assert np.max(np.abs(traces["sz_sites"][-1]
                              - sz_expectations(psi, L))) < 5e-5
 
+    def test_scan_interaction_range(self):
+        """The abstract's interaction-range sweep: A2T stays at the DTC
+        plateau (theta = pi is the fine-tuned perfect point) across alpha
+        including the nearest-neighbor limit."""
+        from timecrystal_tpu.models.long_range import scan_interaction_range
+        out = scan_interaction_range([1.5, None], L=8, n_periods=12,
+                                     n_realizations=2, chi=16, substeps=1,
+                                     dtype=jnp.float64)
+        assert out["a2t"].shape == (2,) and out["a2t_all"].shape == (2, 2)
+        # perfect pi-kick: exact period doubling at every range
+        assert np.all(out["a2t"] > 0.9)
+        assert out["fit_rel_err"][1] == 0.0
+
     def test_dtc_signature_survives_range(self):
         """Period doubling (staggered sign flip per period) persists at
         alpha = 1.5 in the DTC regime -- the physics the axis is for."""

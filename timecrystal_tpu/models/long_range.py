@@ -271,3 +271,57 @@ class LongRangeKickedIsing:
                 "fit_rel_err": self.fit_rel_err,
                 "algorithm": "TDVP (two_site) long-range Floquet"}
         return traces, times, info
+
+
+def scan_interaction_range(alphas, L: int = 12, J: float = 1.0,
+                           h_disorder: float = 0.25, tau: float = 2.0,
+                           theta: float = np.pi, n_periods: int = 24,
+                           n_realizations: int = 3, chi: int = 48,
+                           substeps: int = 2, seed0: int = 42,
+                           dtype=jnp.float32, progress: bool = False):
+    """Subharmonic response A2T vs interaction range alpha -- the scan the
+    reference abstract promises ("sweeping the drive strength, interaction
+    range, and disorder ... pinpoint regimes that sustain time-crystalline
+    order", /root/reference/README.md:19).
+
+    For each alpha, evolves ``n_realizations`` disorder draws (seeds
+    seed0, seed0+1, ...) of ``LongRangeKickedIsing`` and extracts the
+    subharmonic amplitude of the staggered magnetization at the
+    period-doubling frequency (core.observables.
+    extract_subharmonic_amplitude, the detection pipeline's A2T recipe).
+    alpha entries may be None/inf for the nearest-neighbor limit.
+
+    Returns {"alphas", "a2t" [n_alpha], "a2t_std", "fit_rel_err",
+    "a2t_all" [n_alpha, n_realizations]}.
+    """
+    from ..core import observables as obs
+    from ..core.mps import create_initial_state
+
+    alphas = list(alphas)
+    a2t_all = np.zeros((len(alphas), n_realizations))
+    fit_errs = np.zeros(len(alphas))
+    psi0 = create_initial_state(L, "neel", chi=chi, dtype=dtype)
+    it = enumerate(alphas)
+    if progress:
+        try:
+            from tqdm import tqdm
+            it = tqdm(list(it), desc="alpha scan")
+        except ImportError:
+            pass
+    for ia, alpha in it:
+        for r in range(n_realizations):
+            model = LongRangeKickedIsing(
+                L, J, h_disorder, tau, alpha=alpha,
+                disorder_seed=seed0 + r, theta=theta, chi=chi,
+                substeps=substeps, dtype=dtype)
+            traces, times, info = model.evolve(psi0, n_periods)
+            a2t_all[ia, r] = obs.extract_subharmonic_amplitude(
+                times, traces["staggered_magnetization"], 2 * tau)
+        fit_errs[ia] = model.fit_rel_err
+    return {
+        "alphas": alphas,
+        "a2t": a2t_all.mean(axis=1),
+        "a2t_std": a2t_all.std(axis=1),
+        "a2t_all": a2t_all,
+        "fit_rel_err": fit_errs,
+    }
