@@ -125,17 +125,19 @@ def _steady_state():
 
 
 def run_steady(n_periods: int) -> float:
-    """Saturated-chi throughput on the chained projected-SVD path
-    (svd_method='jacobi_proj', ops/pallas/jacobi_svd.jacobi_proj): at
-    steady state the rank fills the padded chi, so the top-chi triplets
-    are computed on [2chi, chi] panels (~2x the full kernel, measured;
-    closed-loop staggered/LE traces agree with the full-kernel path to
-    5.5e-4 / 3.2e-4 over 50 periods -- baselines/chained_proj_closedloop.
-    py and PERFORMANCE.md)."""
+    """Saturated-chi throughput on the core-matrix projected-SVD path
+    (svd_method='jacobi_core', ops/pallas/jacobi_svd.jacobi_core): at
+    steady state the rank fills the padded chi; both subspace bases come
+    from polynomial polar (MXU matmuls) and the only rotation kernel runs
+    on the k x k core -- measured 12.4 p/s vs jacobi_proj's 5.4 and the
+    full kernel's 2.4 at L=40 chi=256, with closed-loop staggered/LE
+    deltas vs the full-kernel path of 7.9e-4 / 3.0e-4 over 50 periods
+    (BETTER than the previously-adopted jacobi_proj tuned config --
+    baselines/jacobi_core_closedloop.py and PERFORMANCE.md round 3)."""
     from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
 
     psi, gates, tp = _steady_state()
-    tp = tp._replace(svd_method="jacobi_proj")
+    tp = tp._replace(svd_method="jacobi_core")
     _, tr = evolve_floquet_scan(psi, gates, n_periods, tp, frame="merged")
     np.asarray(tr["loschmidt_echo"])         # sync (block_until_ready is a
     best = 0.0                               # no-op through the axon tunnel)

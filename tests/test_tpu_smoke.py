@@ -191,6 +191,42 @@ print(json.dumps({"serr": serr, "offmax": offmax, "disc_conservative": cons}))
 
 
 @tpu_only
+def test_compiled_jacobi_core_vs_lapack():
+    """Compiled core-matrix projected SVD (jacobi_core, the steady-state
+    bench path): top-chi S at the measured error class, V kept columns
+    orthonormal, disc conservative -- same contract as jacobi_proj (they
+    share the fixed-basis one-power capture), ~2x faster per call
+    (baselines/polar_core_experiment.py)."""
+    out = _run_child("""
+import json, numpy as np, jax.numpy as jnp
+from timecrystal_tpu.ops.cpx import C
+from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_core
+rng = np.random.RandomState(11)
+B, n, k = 4, 512, 256
+M = np.zeros((B, n, n), np.complex64)
+for i in range(B):
+    q1, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
+    q2, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
+    M[i] = (q1 * np.logspace(0, -7, n)) @ q2.conj().T
+th = C(jnp.asarray(M.real), jnp.asarray(M.imag))
+S, V, disc = jacobi_core(th, k)
+S = np.asarray(S)
+Sref = np.linalg.svd(M, compute_uv=False)
+serr = float(np.max(np.abs(S - Sref[:, :k])) / Sref.max())
+Vk = np.asarray(V.re) + 1j * np.asarray(V.im)
+G = np.einsum("bji,bjk->bik", Vk.conj(), Vk)
+offmax = float(np.abs(G - np.eye(k)[None]).max())
+d_true = np.sum(Sref[:, k:] ** 2, axis=1)
+norm2 = np.sum(Sref ** 2, axis=1)
+cons = bool(np.all(np.asarray(disc) >= d_true - 1e-4 * norm2))
+print(json.dumps({"serr": serr, "offmax": offmax, "disc_conservative": cons}))
+""")
+    assert out["serr"] < 5e-4, out
+    assert out["offmax"] < 5e-5, out
+    assert out["disc_conservative"], out
+
+
+@tpu_only
 def test_compiled_small_n_svd_paths():
     """csvd_topk small-n routing on TPU: 'auto' at n=128/batch 6 routes to
     the Jacobi kernel (small batch -> kernel beats the backend's flat-cost
