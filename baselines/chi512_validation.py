@@ -65,9 +65,12 @@ for chi in (256, 512):
           f"(incl. compile), total trunc_err={traces[chi]['terr']:.3e}",
           flush=True)
 
-    # steady timing: continue from the settled state, both kernels
+    # steady timing: continue from the settled state, all three kernels;
+    # keep the last sz/LE rows per kernel for a steady trace-delta gate
+    steady_tr = {}
     for tag, tpx in (("jacobi_sv", tp),
-                     ("jacobi_proj", tp._replace(svd_method="jacobi_proj"))):
+                     ("jacobi_proj", tp._replace(svd_method="jacobi_proj")),
+                     ("jacobi_core", tp._replace(svd_method="jacobi_core"))):
         _, tr2 = evolve_floquet_scan(psi, gates, N_TIMED, tpx, frame="merged")
         np.asarray(tr2["loschmidt_echo"])
         best = 0.0
@@ -77,7 +80,15 @@ for chi in (256, 512):
                                          frame="merged")
             np.asarray(tr2["loschmidt_echo"])
             best = max(best, N_TIMED / (time.time() - t0))
+        steady_tr[tag] = (np.asarray(tr2["sz_sites"]),
+                          np.asarray(tr2["loschmidt_echo"]))
         print(f"  steady chi={chi} {tag:12s}: {best:.3f} p/s", flush=True)
+    sz_p, le_p = steady_tr["jacobi_sv"]
+    for tag in ("jacobi_proj", "jacobi_core"):
+        sz_x, le_x = steady_tr[tag]
+        print(f"  {tag} vs jacobi_sv over {N_TIMED} steady periods: "
+              f"max |d sz|={np.abs(sz_p - sz_x).max():.2e} "
+              f"max |d LE|={np.abs(le_p - le_x).max():.2e}", flush=True)
 
 dstag = np.abs(traces[256]["stag"] - traces[512]["stag"]).max()
 dle = np.abs(traces[256]["le"] - traces[512]["le"]).max()
