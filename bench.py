@@ -128,12 +128,12 @@ def run_steady(n_periods: int) -> float:
     """Saturated-chi throughput on the core-matrix projected-SVD path
     (svd_method='jacobi_core', ops/pallas/jacobi_svd.jacobi_core): at
     steady state the rank fills the padded chi; both subspace bases come
-    from polynomial polar (MXU matmuls) and the only rotation kernel runs
-    on the k x k core -- measured 12.4 p/s vs jacobi_proj's 5.4 and the
-    full kernel's 2.4 at L=40 chi=256, with closed-loop staggered/LE
-    deltas vs the full-kernel path of 7.9e-4 / 3.0e-4 over 50 periods
-    (BETTER than the previously-adopted jacobi_proj tuned config --
-    baselines/jacobi_core_closedloop.py and PERFORMANCE.md round 3)."""
+    from polynomial polar (MXU matmuls, f32 quintic stage at single-pass
+    bf16 precision) and the only rotation kernel runs on the k x k core
+    -- measured 15.4 p/s vs jacobi_proj's 5.4 and the full kernel's 2.4
+    at L=40 chi=256, with closed-loop staggered/LE deltas vs the
+    full-kernel path of 4.7e-4 / 1.5e-3 over 50 periods
+    (baselines/jacobi_core_closedloop.py and PERFORMANCE.md round 3)."""
     from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
 
     psi, gates, tp = _steady_state()

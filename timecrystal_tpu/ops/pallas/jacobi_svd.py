@@ -582,7 +582,8 @@ def jacobi_proj(theta: C, k: int, max_sweeps: int | None = None,
 _QUINTIC_A, _QUINTIC_B, _QUINTIC_C = 3.4445, -4.7750, 2.0315
 
 
-def _poly_polar(X: C, q_iters: int, c_iters: int) -> C:
+def _poly_polar(X: C, q_iters: int, c_iters: int,
+                q_precision: str = "highest") -> C:
     """Polynomial polar orthonormalization of X C[B, m, k]: all MXU matmuls.
 
     Returns W with W^H W ~ I on the span of X's non-null directions; exact
@@ -591,18 +592,37 @@ def _poly_polar(X: C, q_iters: int, c_iters: int) -> C:
     in baselines/rrsvd_experiment.py.  The Frobenius prescale guarantees
     sigma_max <= 1 at the cost of ~log_3.4(sqrt(k)) extra quintic
     iterations, which are cheap [k, k] matmuls.
+
+    ``q_precision`` runs the QUINTIC stage at a cheaper matmul precision
+    (f32 'default' = one bf16 MXU pass instead of 'highest''s six): the
+    quintic iterations only GROW small sigmas toward 1 and W <- W @ coef
+    keeps columns in span(W) exactly, so matmul rounding perturbs only
+    the mixing; the cubic tail always runs at 'highest' and contracts
+    the orthogonality defect quadratically back to the dtype floor
+    (measured on settled L=40 chi=256 thetas: kept-weight misplacement
+    1.2e-6 -> 3.5e-6, same class, for a 1.2x jacobi_core speedup --
+    baselines/core_anatomy_experiment.py).
     """
     nrm = jnp.sqrt(jnp.sum(cpx.abs2(X), axis=(-2, -1), keepdims=True))
     inv = jnp.where(nrm > 0, 1.0 / jnp.maximum(nrm, 1e-30), 0.0)
     W = C(X.re * inv, X.im * inv)
     k = X.re.shape[-1]
     eye = jnp.eye(k, dtype=X.dtype)
+    qes = partial(jnp.einsum, precision=q_precision)
+
+    def qmul(a: C, b: C) -> C:
+        return C(qes("...ij,...jk->...ik", a.re, b.re)
+                 - qes("...ij,...jk->...ik", a.im, b.im),
+                 qes("...ij,...jk->...ik", a.re, b.im)
+                 + qes("...ij,...jk->...ik", a.im, b.re))
+
     for _ in range(q_iters):
-        G = cpx.einsum("...ji,...jk->...ik", W.conj(), W)
-        G2 = cpx.einsum("...ij,...jk->...ik", G, G)
+        Wh = C(jnp.swapaxes(W.re, -1, -2), -jnp.swapaxes(W.im, -1, -2))
+        G = qmul(Wh, W)
+        G2 = qmul(G, G)
         coef = C(_QUINTIC_A * eye + _QUINTIC_B * G.re + _QUINTIC_C * G2.re,
                  _QUINTIC_B * G.im + _QUINTIC_C * G2.im)
-        W = cpx.einsum("...ij,...jk->...ik", W, coef)
+        W = qmul(W, coef)
     for _ in range(c_iters):
         G = cpx.einsum("...ji,...jk->...ik", W.conj(), W)
         coef = C(1.5 * eye - 0.5 * G.re, -0.5 * G.im)
@@ -611,10 +631,12 @@ def _poly_polar(X: C, q_iters: int, c_iters: int) -> C:
 
 
 @partial(jax.jit, static_argnames=("k", "q_iters", "c_iters", "max_sweeps",
-                                   "tol", "polish_iters", "interpret"))
+                                   "tol", "polish_iters", "quintic_precision",
+                                   "interpret"))
 def jacobi_core(theta: C, k: int, q_iters: int | None = None,
                 c_iters: int | None = None, max_sweeps: int | None = None,
                 tol: float | None = None, polish_iters: int = 4,
+                quintic_precision: str | None = None,
                 interpret: bool = False):
     """Core-matrix projected top-k SVD: (S [.., k], V C[.., n, k], disc)
     of theta C[.., m, n] -- the fastest saturated-chi steady-state path
@@ -669,6 +691,15 @@ def jacobi_core(theta: C, k: int, q_iters: int | None = None,
         # resolves the looser-tol defects, same argument as csvd_topk's
         # tuned jacobi_proj config)
         tol = 1e-14 if theta.dtype == jnp.float64 else 1e-6
+    if quintic_precision is None:
+        # f32: the quintic NS stage tolerates single-pass bf16 matmuls
+        # (span-preserving; the 'highest' cubic tail restores
+        # orthonormality quadratically) -- measured 1.2x at the same
+        # kept-weight class + closed-loop trace deltas in the adopted
+        # config's class (baselines/core_anatomy_experiment.py,
+        # PERFORMANCE.md round 3 cont.).  f64 keeps full precision.
+        quintic_precision = ("highest" if theta.dtype == jnp.float64
+                             else "default")
     squeeze = theta.ndim == 2
     if squeeze:
         theta = C(theta.re[None], theta.im[None])
@@ -677,9 +708,9 @@ def jacobi_core(theta: C, k: int, q_iters: int | None = None,
     assert k % 2 == 0 and k <= min(m, n), "jacobi_core needs even k <= min(m, n)"
     Q0 = _fixed_projection_basis(n, k, theta.dtype)
     T = cpx.einsum("bmn,nk->bmk", theta, Q0)
-    W = _poly_polar(T, q_iters, c_iters)
+    W = _poly_polar(T, q_iters, c_iters, quintic_precision)
     Y = cpx.einsum("bmn,bmk->bnk", theta.conj(), W)
-    Z = _poly_polar(Y, q_iters, c_iters)
+    Z = _poly_polar(Y, q_iters, c_iters, quintic_precision)
     P = cpx.einsum("bmn,bnk->bmk", theta, Z)
     K = cpx.einsum("bmk,bml->bkl", W.conj(), P)
     Kh = C(jnp.swapaxes(K.re, -1, -2), -jnp.swapaxes(K.im, -1, -2))
