@@ -126,18 +126,22 @@ def _steady_state():
 
 def run_steady(n_periods: int) -> float:
     """Saturated-chi throughput on the core-matrix projected-SVD path
-    (svd_method='jacobi_core', ops/pallas/jacobi_svd.jacobi_core): at
-    steady state the rank fills the padded chi; both subspace bases come
-    from polynomial polar (MXU matmuls, f32 quintic stage at single-pass
-    bf16 precision) and the only rotation kernel runs on the k x k core
-    -- measured 15.4 p/s vs jacobi_proj's 5.4 and the full kernel's 2.4
-    at L=40 chi=256, with closed-loop staggered/LE deltas vs the
+    (svd_method='jacobi_core_fast', ops/pallas/jacobi_svd.jacobi_core
+    with the single-pass-bf16 quintic polar stage): at steady state the
+    rank fills the padded chi; both subspace bases come from polynomial
+    polar (MXU matmuls) and the only rotation kernel runs on the k x k
+    core -- measured ~15 p/s vs jacobi_proj's 5.4 and the full kernel's
+    2.4 at L=40 chi=256, with closed-loop staggered/LE deltas vs the
     full-kernel path of 4.7e-4 / 1.5e-3 over 50 periods
-    (baselines/jacobi_core_closedloop.py and PERFORMANCE.md round 3)."""
+    (baselines/jacobi_core_closedloop.py and PERFORMANCE.md round 3).
+    The _fast variant is the right call HERE because the measured
+    workload is exactly the spectrum class it is gated on (saturated
+    steep TEBD thetas); the input-agnostic default 'jacobi_core' keeps
+    full quintic precision."""
     from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
 
     psi, gates, tp = _steady_state()
-    tp = tp._replace(svd_method="jacobi_core")
+    tp = tp._replace(svd_method="jacobi_core_fast")
     _, tr = evolve_floquet_scan(psi, gates, n_periods, tp, frame="merged")
     np.asarray(tr["loschmidt_echo"])         # sync (block_until_ready is a
     best = 0.0                               # no-op through the axon tunnel)

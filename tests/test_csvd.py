@@ -559,6 +559,37 @@ class TestJacobiCore:
                 np.testing.assert_allclose(Sn[i, j][:k - 1],
                                            s[0, 0, :k - 1], rtol=5e-3)
 
+    def test_quintic_precision_override(self):
+        """The quintic-stage matmul-precision knob threads through: the
+        DEFAULT is 'highest' for every dtype (bf16 quintic collapses
+        boundary directions on dense spectra -- the compiled-kernel smoke
+        tier covers that on hardware); the explicit 'default' opt-in
+        (csvd_topk method 'jacobi_core_fast') must stay in the same
+        accuracy class on a production-like steep spectrum (on CPU this
+        checks the plumbing; the bf16 soundness gate itself is measured
+        on hardware, baselines/core_anatomy_experiment.py)."""
+        rng = self._rng()
+        import jax.numpy as jnp
+        n, k = 64, 32
+        q1, _ = np.linalg.qr(rng.normal(size=(n, n))
+                             + 1j * rng.normal(size=(n, n)))
+        q2, _ = np.linalg.qr(rng.normal(size=(n, n))
+                             + 1j * rng.normal(size=(n, n)))
+        M = ((q1 * np.logspace(0, -8, n)) @ q2.conj().T)[None]
+        Mf32 = _to_c(M, jnp.float32)
+        from timecrystal_tpu.ops.pallas.jacobi_svd import jacobi_core
+        s_ref = np.linalg.svd(M[0], compute_uv=False)
+        for qp in (None, "highest", "default"):
+            S, V, _ = jacobi_core(Mf32, k, interpret=True,
+                                  quintic_precision=qp)
+            S, Vn = np.asarray(S)[0], cpx.to_numpy(V)[0]
+            assert np.max(np.abs(S - s_ref[:k])) / s_ref[0] < 5e-4, qp
+            G = Vn.conj().T @ Vn
+            assert np.max(np.abs(G - np.eye(k))) < 1e-4, qp
+        # f64 default path stays green too (resolves to 'highest')
+        S64, _, _ = self._core(M, k)
+        assert np.max(np.abs(S64[0] - s_ref[:k])) / s_ref[0] < 5e-5
+
     def test_csvd_topk_jacobi_core_method(self):
         """csvd_topk(method='jacobi_core') routes the kernel (interpret on
         CPU) and matches native top-k on a steep spectrum; odd k falls back
@@ -580,6 +611,15 @@ class TestJacobiCore:
         np.testing.assert_allclose(
             np.asarray(S_odd),
             np.linalg.svd(M[0], compute_uv=False)[None, :15], atol=1e-6)
+        # the bf16-quintic opt-in routes and stays in class (f64 inputs
+        # keep 'highest' -- the fast flag only drops f32 precision)
+        S_f, Vh_f, _ = csvd_topk(_to_c(M), k, method="jacobi_core_fast")
+        np.testing.assert_allclose(np.asarray(S_f), np.asarray(S_ref),
+                                   atol=1e-4)
+        Sf32, _, _ = csvd_topk(_to_c(M, jnp.float32), k,
+                               method="jacobi_core_fast")
+        np.testing.assert_allclose(np.asarray(Sf32), np.asarray(S_ref),
+                                   atol=1e-3)
 
 
 class TestRoutingAndShapes:

@@ -50,9 +50,11 @@ class TruncParams(NamedTuple):
     trunc_cut: float = 0.0    # 0 => disabled
     renormalize: bool = True
     # 'native' | 'gram_eigh' | 'jacobi' | 'auto', plus the saturated-chi
-    # steady-state fast paths 'jacobi_proj' / 'jacobi_core' (opt-in: their
-    # reported trunc_err carries the projection leak + f32 noise floor and
-    # must not drive chi-escalation -- see ops/csvd.csvd_topk)
+    # steady-state fast paths 'jacobi_proj' / 'jacobi_core' /
+    # 'jacobi_core_fast' (opt-in: their reported trunc_err carries the
+    # projection leak + f32 noise floor and must not drive chi-escalation;
+    # the _fast variant is additionally gated to steep saturated spectra
+    # -- see ops/csvd.csvd_topk)
     svd_method: str = "auto"
     jacobi_sweeps: int = 0    # 0 = dtype default (ops/pallas/jacobi_svd)
 

@@ -448,7 +448,7 @@ def csvd_topk(theta: C, k: int, method: str = "auto",
             return S, Vh, disc
         method = "jacobi"
 
-    if method == "jacobi_core":
+    if method in ("jacobi_core", "jacobi_core_fast"):
         # Core-matrix projected SVD (ops/pallas/jacobi_svd.jacobi_core):
         # both subspace bases by polynomial polar (all MXU matmuls), ONE
         # rotation kernel on the k x k core -- measured 2x jacobi_proj /
@@ -458,12 +458,28 @@ def csvd_topk(theta: C, k: int, method: str = "auto",
         # trunc_err carries the f32 Frobenius noise floor + projection
         # leak, so it must not drive chi-escalation decisions (the staged
         # drivers pin 'jacobi' -- sweep._stage_tp).
+        #
+        # 'jacobi_core_fast' additionally runs the f32 quintic polar stage
+        # at single-pass-bf16 matmul precision (~1.2x per call) -- SAFE
+        # ONLY on steep saturated spectra (TEBD steady state, where it is
+        # closed-loop trace-gated: baselines/jacobi_core_closedloop.py);
+        # on dense near-boundary spectra bf16 collapses boundary
+        # directions into an unrepairable orthonormality defect (see
+        # jacobi_core's quintic_precision note).  The plain method keeps
+        # full precision for every input class.
         from .pallas.jacobi_svd import jacobi_core
 
         if k % 2 == 0 and k <= min(m, n):
+            fast = (method == "jacobi_core_fast"
+                    and theta.dtype != jnp.float64)   # f64 keeps 'highest'
+            # fast = the closed-loop-gated saturated-TEBD config: bf16
+            # quintic polar + fixed 4-iteration polish (its junk-column
+            # defect class is part of what the gate measured)
+            tuned = (dict(quintic_precision="default", polish_iters=4,
+                          polish_adaptive=False) if fast else {})
             S, V, disc = jacobi_core(theta, k,
                                      max_sweeps=jacobi_sweeps or None,
-                                     interpret=_interpret_mode())
+                                     interpret=_interpret_mode(), **tuned)
             Vh = C(jnp.swapaxes(V.re, -1, -2), -jnp.swapaxes(V.im, -1, -2))
             return S, Vh, disc
         method = "jacobi"

@@ -299,6 +299,53 @@ def _ns_polish(V: C, pk: int, iters: int = 12) -> C:
     return C(re, im)
 
 
+def _ns_polish_adaptive(V: C, pk: int, max_iters: int, tol: float) -> C:
+    """Adaptive-exit Newton-Schulz re-orthonormalization of the leading pk
+    columns: the same iteration as ``_ns_polish``, under a lax.while_loop
+    that exits once the gram defect max|X^H X - I| (max over the batch)
+    drops below ``tol``.
+
+    Production steady-state TEBD thetas exit in ~4-5 iterations (the
+    1/sqrt(2) prescale alone costs ~3 scale-recovery iterations);
+    adversarial dense-boundary spectra -- where the core kernel's
+    boundary-column defect reaches ~1e-2 -- run toward the cap (measured
+    on the compiled kernel: [4, 512, 256] logspace(0,-7) panels polish to
+    9.5e-7 where a fixed 4-iteration polish left 1.0e-2).  This keeps the
+    orthonormal-V contract input-independent without charging steep
+    production spectra for the adversarial case.
+    """
+    X = C(V.re[..., :, :pk], V.im[..., :, :pk]) * np.float32(1.0 / np.sqrt(2))
+    eye = jnp.eye(pk, dtype=V.dtype)
+
+    def cond(carry):
+        i, d, _, _ = carry
+        return (i < max_iters) & (d >= np.asarray(tol, V.dtype))
+
+    def body(carry):
+        i, _, re, im = carry
+        Xi = C(re, im)
+        P = cpx.einsum("...ji,...jk->...ik", Xi.conj(), Xi)
+        # NULL-SAFE defect: the NS fixed points are partial isometries
+        # (column sigmas in {0, 1}), so max|P - I| never converges for a
+        # null column (its zero diagonal reads as defect 1 forever).
+        # Off-diagonals vanish at the fixed point regardless of rank
+        # (a null column's row/col of P is exactly zero), and the scale
+        # error 4*p_ii(1 - p_ii) vanishes at BOTH sigma = 0 and 1.
+        diag = jnp.diagonal(P.re, axis1=-2, axis2=-1)
+        off = jnp.max(jnp.abs(P.re - eye * P.re) + jnp.abs(P.im))
+        d = jnp.maximum(off, jnp.max(4.0 * jnp.abs(diag * (1.0 - diag))))
+        corr = C(1.5 * eye - 0.5 * P.re, -0.5 * P.im)
+        Xn = cpx.einsum("...ij,...jk->...ik", Xi, corr)
+        return (i + 1, d, Xn.re, Xn.im)
+
+    _, _, re, im = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.asarray(jnp.inf, V.dtype),
+                     X.re, X.im))
+    re = jnp.concatenate([re, V.re[..., :, pk:]], axis=-1)
+    im = jnp.concatenate([im, V.im[..., :, pk:]], axis=-1)
+    return C(re, im)
+
+
 def _rotate_single_pair(A: C):
     """Exact one-rotation one-sided Jacobi for a SINGLE column pair
     (n = 2), plain jnp: the tournament kernels' cycle shuffle is undefined
@@ -632,11 +679,12 @@ def _poly_polar(X: C, q_iters: int, c_iters: int,
 
 @partial(jax.jit, static_argnames=("k", "q_iters", "c_iters", "max_sweeps",
                                    "tol", "polish_iters", "quintic_precision",
-                                   "interpret"))
+                                   "polish_adaptive", "interpret"))
 def jacobi_core(theta: C, k: int, q_iters: int | None = None,
                 c_iters: int | None = None, max_sweeps: int | None = None,
-                tol: float | None = None, polish_iters: int = 4,
+                tol: float | None = None, polish_iters: int = 12,
                 quintic_precision: str | None = None,
+                polish_adaptive: bool = True,
                 interpret: bool = False):
     """Core-matrix projected top-k SVD: (S [.., k], V C[.., n, k], disc)
     of theta C[.., m, n] -- the fastest saturated-chi steady-state path
@@ -692,14 +740,17 @@ def jacobi_core(theta: C, k: int, q_iters: int | None = None,
         # tuned jacobi_proj config)
         tol = 1e-14 if theta.dtype == jnp.float64 else 1e-6
     if quintic_precision is None:
-        # f32: the quintic NS stage tolerates single-pass bf16 matmuls
-        # (span-preserving; the 'highest' cubic tail restores
-        # orthonormality quadratically) -- measured 1.2x at the same
-        # kept-weight class + closed-loop trace deltas in the adopted
-        # config's class (baselines/core_anatomy_experiment.py,
-        # PERFORMANCE.md round 3 cont.).  f64 keeps full precision.
-        quintic_precision = ("highest" if theta.dtype == jnp.float64
-                             else "default")
+        # SAFE default for every input class.  'default' (single-pass bf16
+        # quintic matmuls) is 1.2x faster and closed-loop-validated on
+        # saturated TEBD spectra (steep boundary, tiny tail) -- but on
+        # DENSE near-boundary spectra bf16 gram rounding (eps ~ 8e-3)
+        # collapses boundary directions into collinear columns, an
+        # orthonormality defect (measured 0.16 on [512,512] logspace(0,-7)
+        # panels) that NO amount of NS polish can repair (polish fixes
+        # scale, not span collapse).  Opt in per call, or via
+        # csvd.csvd_topk(method='jacobi_core_fast') on workloads where the
+        # spectrum class is known (the steady-state bench does).
+        quintic_precision = "highest"
     squeeze = theta.ndim == 2
     if squeeze:
         theta = C(theta.re[None], theta.im[None])
@@ -717,7 +768,18 @@ def jacobi_core(theta: C, k: int, q_iters: int | None = None,
     Km = _orthogonalize_columns(Kh, max_sweeps, tol, interpret)
     S, Vk = _cols_to_sv(Km, polish=0)
     V = cpx.einsum("bnk,bkl->bnl", Z, Vk)
-    if polish_iters:
+    if polish_iters and polish_adaptive:
+        # adaptive (the default): steep production spectra exit in a few
+        # iterations, adversarial dense-boundary spectra run toward the
+        # cap -- the orthonormal-V contract must hold for EVERY input (a
+        # fixed 4-iteration polish left a 1e-2 defect on dense spectra,
+        # caught by tests/test_tpu_smoke.py::test_compiled_jacobi_core*).
+        # polish_adaptive=False + a small polish_iters is the measured
+        # closed-loop-gated fast config for saturated TEBD spectra
+        # (csvd_topk method 'jacobi_core_fast').
+        ptol = 1e-12 if theta.dtype == jnp.float64 else 5e-6
+        V = _ns_polish_adaptive(V, k, max_iters=polish_iters, tol=ptol)
+    elif polish_iters:
         V = _ns_polish(V, k, iters=polish_iters)
     disc = jnp.sum(cpx.abs2(theta), axis=(-2, -1)) - jnp.sum(S * S, axis=-1)
     disc = jnp.maximum(disc, 0.0)
