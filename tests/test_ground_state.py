@@ -151,3 +151,15 @@ def test_ground_state_from_explicit_psi0():
     psi, E, info = find_ground_state(model, chi=16, psi0=psi0,
                                      dtype=jnp.float64, dts=(0.1, 0.01, 1e-3))
     assert abs(E - exact_ground_energy(model)) < 1e-7
+
+
+def test_equal_final_dts_skip_extrapolation():
+    """A ladder whose final two legs share one dt has no dt-contrast for
+    Richardson extrapolation (1 - r^2 = 0): the search must return the
+    fixed-point energy rather than dividing by zero."""
+    L = 4
+    model = spin_chain_model(L, Jz=1.0, hx=0.7)
+    psi, E, info = find_ground_state(model, chi=8, dts=(0.05, 0.05),
+                                     max_chunks_per_dt=40)
+    assert np.isfinite(info["energy_extrapolated"])
+    assert info["energy_extrapolated"] == E

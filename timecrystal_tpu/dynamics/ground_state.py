@@ -164,7 +164,10 @@ def find_ground_state(model: NearestNeighborModel, chi: int = 32,
     # E0 = (E_fine - r^2 E_coarse) / (1 - r^2), r = dt_fine / dt_coarse.
     # Only meaningful when both legs converged to their own fixed points.
     energy_extrap = energy
-    if len(leg_energies) >= 2 and all(converged[-2:]):
+    if len(leg_energies) >= 2 and all(converged[-2:]) \
+            and dts[-1] != dts[-2]:
+        # equal final legs carry no dt-contrast: the extrapolation would
+        # divide by 1 - r^2 = 0, so fall back to the fixed-point energy
         r = dts[-1] / dts[-2]
         energy_extrap = (leg_energies[-1] - r * r * leg_energies[-2]) \
             / (1.0 - r * r)
