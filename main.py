@@ -40,6 +40,11 @@ Examples:
                       help="Generate only the phase diagram")
     mode.add_argument("--figures-only", action="store_true",
                       help="Generate only the individual figures A-D")
+    mode.add_argument("--drive-diagram", action="store_true",
+                      help="Generate the drive-strength (pulse imperfection "
+                           "eps x disorder h/J) DTC melting diagram -- the "
+                           "sweep the reference abstract advertises but "
+                           "never implements")
     parser.add_argument("--config", type=str, default=None,
                         help="Path to configuration file (default: auto-detect)")
     parser.add_argument("--synthetic-multisite", action="store_true",
@@ -111,17 +116,25 @@ def main() -> None:
         return
     print(f"Loaded {len(params)} parameters")
 
-    generate_phase = not args.figures_only
-    generate_figures = not args.phase_only
+    generate_phase = not (args.figures_only or args.drive_diagram)
+    generate_figures = not (args.phase_only or args.drive_diagram)
     mode = ("Phase diagram only" if args.phase_only else
             "Individual figures A-D only" if args.figures_only else
+            "Drive-strength diagram only" if args.drive_diagram else
             "Both phase diagram and individual figures A-D")
     print(f"Mode: {mode}")
 
-    _configure_matplotlib(phase_only=generate_phase and not generate_figures)
+    _configure_matplotlib(phase_only=not generate_figures)
 
     start = time.time()
     try:
+        if args.drive_diagram:
+            from timecrystal_tpu.analysis.phase_diagram import \
+                generate_drive_diagram
+            import matplotlib.pyplot as plt
+            generate_drive_diagram(params)
+            plt.close("all")
+
         if generate_phase:
             from timecrystal_tpu.analysis.phase_diagram import generate_phase_diagram
             import matplotlib.pyplot as plt

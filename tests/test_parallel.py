@@ -409,3 +409,61 @@ class TestEnsembleCorrelationTraces:
         with pytest.raises(NotImplementedError, match="chi-staged"):
             disorder_ensemble(jax.random.PRNGKey(0), 2, spec, 0.3, 1.0,
                               staged=True, correlation_site=3)
+
+
+class TestDriveStrengthAxis:
+    """Per-realization kick angle (the drive-strength sweep axis the
+    reference abstract advertises but never implements)."""
+
+    def test_theta_batch_matches_scalar(self):
+        """evolve_batch(thetas=...) element == scalar-theta spec run."""
+        L = 8
+        thetas = [0.92 * np.pi, np.pi]   # one generic, one exact-pi
+        hf = np.stack([np.random.RandomState(s).uniform(-0.3, 0.3, L)
+                       for s in (1, 2)])
+        taus = jnp.asarray([1.0, 1.2])
+        basis = jnp.asarray(_basis_indices(L, "neel"))
+        spec = _spec(L=L, n=5)
+        tr = evolve_batch(jnp.asarray(hf), taus, basis, spec,
+                          thetas=jnp.asarray(thetas))
+        for k, th in enumerate(thetas):
+            ref = evolve_batch(jnp.asarray(hf[k:k + 1]), taus[k:k + 1],
+                               basis, spec._replace(theta=float(th)))
+            for key in ("sz_sites", "loschmidt_echo", "entropy_mid"):
+                np.testing.assert_allclose(np.asarray(tr[key])[k],
+                                           np.asarray(ref[key])[0],
+                                           atol=1e-12)
+
+    def test_theta_batch_sharded_matches_unsharded(self):
+        spec = _spec(L=8, n=4)
+        R = 5   # not a mesh multiple (exercises theta padding)
+        rng = np.random.default_rng(3)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (R, spec.L)))
+        taus = jnp.full((R,), 1.0)
+        thetas = jnp.asarray(np.pi * (1.0 - np.linspace(0.0, 0.2, R)))
+        basis = _basis_indices(spec.L, "neel")
+        a = evolve_batch(hf, taus, jnp.asarray(basis), spec, thetas=thetas)
+        b = evolve_batch_sharded(hf, taus, basis, spec,
+                                 Mesh(np.asarray(jax.devices()), ("batch",)),
+                                 thetas=thetas)
+        for key in ("sz_sites", "loschmidt_echo"):
+            np.testing.assert_allclose(np.asarray(b[key]),
+                                       np.asarray(a[key]), atol=1e-12)
+
+    def test_drive_grid_melts_with_eps(self):
+        """A2T ~ 1 at eps=0 and decays once eps leaves the DTC plateau."""
+        from timecrystal_tpu.analysis.phase_diagram import sweep_drive_grid
+
+        params = {"J": 1.0, "T_DRIVE": 2.0, "RANDOM_SEED": 42,
+                  "SVD_MIN": 1e-12, "SVD_CUTOFF": 1e-7}
+        res = sweep_drive_grid([0.0, 0.45], [0.0, 0.3], params,
+                               n_sites=8, n_periods=32, chi_pad=16)
+        A2T = res["A2T"]
+        assert A2T.shape == (2, 2)
+        assert all(r["success"] for r in res["records"])
+        # exact pi pulse: perfect period doubling at any disorder
+        assert A2T[0, 0] > 0.8 and A2T[0, 1] > 0.8
+        # far off the plateau the disordered chain's subharmonic response
+        # collapses (the clean h=0 column keeps a finite-size coherent
+        # revival at any eps, so the melting signature lives at h>0)
+        assert A2T[1, 1] < 0.5 * A2T[0, 1]

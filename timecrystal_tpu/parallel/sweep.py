@@ -51,8 +51,8 @@ class SweepSpec(NamedTuple):
 
 def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec,
                 correlation_site: int | None = None,
-                two_time_anchor: int | None = None):
-    """Evolve one realization; pure jnp (h_fields, tau may be traced).
+                two_time_anchor: int | None = None, theta=None):
+    """Evolve one realization; pure jnp (h_fields, tau, theta may be traced).
 
     ``correlation_site=i`` adds a zz_corr [n+1, L] trace (the full
     <sz_i sz_j> profile per period, observables.zz_correlation_profile)
@@ -71,7 +71,8 @@ def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec,
     dtype = jnp.float32 if spec.dtype == "float32" else jnp.float64
     psi0 = product_state(basis_indices, chi=spec.chi, dtype=dtype)
     gates = make_floquet_gates(spec.J, h_fields.astype(dtype), tau,
-                               theta=spec.theta, dtype=dtype)
+                               theta=spec.theta if theta is None else theta,
+                               dtype=dtype)
     sz_op = G.pauli_c("z", dtype)
     L = spec.L
     signs = jnp.asarray(np.where(np.arange(L) % 2 == 0, 1.0, -1.0), dtype)
@@ -146,7 +147,8 @@ def _traces_one(h_fields, tau, basis_indices, spec: SweepSpec,
                                    "two_time_anchor"))
 def evolve_batch(h_fields: jax.Array, taus: jax.Array, basis_indices: jax.Array,
                  spec: SweepSpec, correlation_site: int | None = None,
-                 two_time_anchor: int | None = None):
+                 two_time_anchor: int | None = None,
+                 thetas: jax.Array | None = None):
     """vmapped Floquet evolution over a batch of realizations.
 
     Args:
@@ -160,13 +162,24 @@ def evolve_batch(h_fields: jax.Array, taus: jax.Array, basis_indices: jax.Array,
       two_time_anchor: when set, traces gain zz2t_re / zz2t_im
         [R, n+1, L] -- the two-time correlator <sz_i(0) sz_j(t)> per
         realization (_traces_one docstring; 2x the evolution cost).
+      thetas: optional [R] kick angle per realization -- the DRIVE-STRENGTH
+        axis (pulse imperfection eps = 1 - theta/pi).  The reference
+        abstract advertises "sweeping the drive strength" but its code
+        never implements it; here it is one more vmapped batch axis
+        (gates are analytic in theta, models/kicked_ising.py:72-97).
+        Overrides spec.theta.
 
     Returns a dict of stacked traces with leading batch axis [R, ...].
     """
     spec = _resolve_svd_method(spec, h_fields.shape[0])
-    return jax.vmap(lambda h, t: _traces_one(h, t, basis_indices, spec,
-                                             correlation_site,
-                                             two_time_anchor))(h_fields, taus)
+    if thetas is None:
+        return jax.vmap(lambda h, t: _traces_one(h, t, basis_indices, spec,
+                                                 correlation_site,
+                                                 two_time_anchor))(h_fields,
+                                                                   taus)
+    return jax.vmap(lambda h, t, th: _traces_one(
+        h, t, basis_indices, spec, correlation_site, two_time_anchor,
+        theta=th))(h_fields, taus, thetas)
 
 
 def _resolve_svd_method(spec: SweepSpec, R: int) -> SweepSpec:
@@ -534,7 +547,8 @@ def default_mesh(axis_name: str = "batch", devices=None) -> Mesh:
 def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
                          mesh: Mesh | None = None, axis_name: str = "batch",
                          correlation_site: int | None = None,
-                         two_time_anchor: int | None = None):
+                         two_time_anchor: int | None = None,
+                         thetas: jax.Array | None = None):
     """Shard the realization batch over the device mesh.
 
     The batch is padded up to a multiple of the mesh size (padded entries are
@@ -551,17 +565,29 @@ def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
     if jax.process_count() > 1:
         from .multihost import evolve_batch_multihost
 
+        if thetas is not None:
+            raise NotImplementedError(
+                "per-realization thetas are not yet threaded through the "
+                "multi-process path (evolve_batch_multihost); run the "
+                "drive-strength sweep single-process or shard a fixed-theta "
+                "slice per host")
         return evolve_batch_multihost(h_fields, taus, basis_indices, spec,
                                       mesh=mesh, axis_name=axis_name,
                                       correlation_site=correlation_site,
                                       two_time_anchor=two_time_anchor)
     R = int(h_fields.shape[0])
-    h_fields, taus, _ = _pad_to_mesh(h_fields, taus, mesh, axis_name)
+    h_fields, taus, place = _pad_to_mesh(h_fields, taus, mesh, axis_name)
+    if thetas is not None:
+        thetas = jnp.asarray(thetas)
+        pad_r = int(h_fields.shape[0]) - R
+        if pad_r:
+            thetas = jnp.concatenate([thetas, jnp.tile(thetas[:1], (pad_r,))])
+        thetas = place(thetas)
     basis_indices = jax.device_put(jnp.asarray(basis_indices),
                                    NamedSharding(mesh, P()))
     out = evolve_batch(h_fields, taus, basis_indices, spec,
                        correlation_site=correlation_site,
-                       two_time_anchor=two_time_anchor)
+                       two_time_anchor=two_time_anchor, thetas=thetas)
     return {k: v[:R] for k, v in out.items()}
 
 
