@@ -467,3 +467,19 @@ class TestDriveStrengthAxis:
         # collapses (the clean h=0 column keeps a finite-size coherent
         # revival at any eps, so the melting signature lives at h>0)
         assert A2T[1, 1] < 0.5 * A2T[0, 1]
+
+    def test_drive_grid_chunked_matches_one_program(self):
+        """chunk_size (the axon worker-limit guard) never changes results:
+        chunked evolution with a ragged padded tail == one batched program."""
+        from timecrystal_tpu.analysis.phase_diagram import sweep_drive_grid
+
+        params = {"J": 1.0, "T_DRIVE": 2.0, "RANDOM_SEED": 42,
+                  "SVD_MIN": 1e-12, "SVD_CUTOFF": 1e-7}
+        kw = dict(n_sites=8, n_periods=10, chi_pad=16)
+        eps, hs = [0.0, 0.1, 0.3], [0.0, 0.4, 0.8]
+        one = sweep_drive_grid(eps, hs, params, chunk_size=0, **kw)
+        chunked = sweep_drive_grid(eps, hs, params, chunk_size=4, **kw)
+        np.testing.assert_allclose(chunked["A2T"], one["A2T"], atol=1e-12)
+        for key in ("sz_sites", "loschmidt_echo"):
+            np.testing.assert_allclose(chunked["traces"][key],
+                                       one["traces"][key], atol=1e-12)

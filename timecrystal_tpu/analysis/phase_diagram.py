@@ -139,7 +139,8 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
 
 def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
                      chi_pad: int = 48, n_sites: int | None = None,
-                     n_periods: int | None = None) -> Dict:
+                     n_periods: int | None = None,
+                     chunk_size: int = 40) -> Dict:
     """Drive-strength phase diagram: pulse imperfection eps x disorder h/J.
 
     The canonical DTC "melting" diagram (Yao et al., PRL 118, 030401):
@@ -153,6 +154,13 @@ def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
     Every (eps, h) point uses the reference's per-point disorder
     convention: ONE MT19937 base pattern from RANDOM_SEED scaled by h
     (main.py:318-324 + kicked_ising.py:55-59).
+
+    The grid evolves in chunks of ``chunk_size`` points per device
+    program (padded to one shared compiled shape): a single 120-point
+    program at chi_pad=48 kernel-faults the axon TPU worker (measured;
+    same failure class as the >120-point chi_pad=32 limit recorded in
+    examples/phase_diagram_hires.py).  Pass ``chunk_size=0`` to force one
+    program (fine on CPU and on backends without the worker limit).
 
     Returns {"A2T": [n_eps, n_h] array, "eps", "hs", "traces", "records"}.
     """
@@ -187,12 +195,31 @@ def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
     if mesh == "auto":
         from ..parallel.sweep import default_mesh
         mesh = default_mesh() if len(jax.devices()) > 1 else None
-    if mesh is not None:
-        traces = evolve_batch_sharded(h_fields, taus, basis, spec, mesh,
-                                      thetas=thetas)
+
+    def _evolve(hf, tf, th):
+        if mesh is not None:
+            out = evolve_batch_sharded(hf, tf, basis, spec, mesh, thetas=th)
+        else:
+            out = evolve_batch(hf, tf, basis, spec, thetas=th)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    B = len(eps_f)
+    cs = int(chunk_size) if chunk_size else B
+    if cs >= B:
+        traces = _evolve(h_fields, taus, thetas)
     else:
-        traces = evolve_batch(h_fields, taus, basis, spec, thetas=thetas)
-    traces = {k: np.asarray(v) for k, v in traces.items()}
+        parts = []
+        for lo in range(0, B, cs):
+            hi = min(lo + cs, B)
+            hf, tf, th = h_fields[lo:hi], taus[lo:hi], thetas[lo:hi]
+            if hi - lo < cs:                      # pad ragged tail chunk so
+                pad = cs - (hi - lo)              # every chunk reuses one
+                hf = jnp.concatenate([hf, jnp.tile(hf[:1], (pad, 1))])
+                tf = jnp.concatenate([tf, jnp.tile(tf[:1], (pad,))])
+                th = jnp.concatenate([th, jnp.tile(th[:1], (pad,))])
+            parts.append({k: v[:hi - lo]          # compiled program
+                          for k, v in _evolve(hf, tf, th).items()})
+        traces = {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
 
     times = np.arange(n_per + 1) * (2.0 * tau)
     stag = traces["staggered_magnetization"]
