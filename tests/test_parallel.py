@@ -483,3 +483,40 @@ class TestDriveStrengthAxis:
         for key in ("sz_sites", "loschmidt_echo"):
             np.testing.assert_allclose(chunked["traces"][key],
                                        one["traces"][key], atol=1e-12)
+
+    def test_negative_chunk_size_raises(self):
+        """A negative chunk_size must fail loudly, not crash with an
+        IndexError from an empty range (advisor round 3)."""
+        import pytest
+
+        from timecrystal_tpu.analysis.phase_diagram import (sweep_drive_grid,
+                                                            sweep_phase_grid)
+
+        params = {"J": 1.0, "T_DRIVE": 2.0, "RANDOM_SEED": 42}
+        with pytest.raises(ValueError, match="chunk_size"):
+            sweep_drive_grid([0.0], [0.0], params, n_sites=6, n_periods=2,
+                             chi_pad=8, chunk_size=-3)
+        with pytest.raises(ValueError, match="chunk_size"):
+            sweep_phase_grid([0.1], [2.0], params, chunk_size=-3,
+                             checkpoint_dir="/tmp/never-used")
+
+    def test_grid_svd_method_resolved_from_full_batch(self):
+        """Chunked and single-program sweeps must resolve svd_method='auto'
+        from the FULL grid size, so chunking cannot change which SVD kernel
+        runs on TPU (advisor round 3).  Verified by resolving at both sizes
+        and asserting the grid-level resolution is what both paths see."""
+        import jax
+
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.parallel.sweep import (SweepSpec,
+                                                    _resolve_svd_method)
+
+        tp = TruncParams(chi_max=24, svd_min=1e-12, trunc_cut=1e-7)
+        spec = SweepSpec(L=16, chi=32, n_periods=80, J=1.0,
+                         theta=float(np.pi), tp=tp)
+        full = _resolve_svd_method(spec, 120)
+        # idempotent: a chunk re-resolving an already-resolved spec is a
+        # no-op regardless of its (smaller) batch size
+        assert _resolve_svd_method(full, 4) == full
+        if jax.default_backend() == "cpu":
+            assert full.tp.svd_method == "auto"   # resolution is TPU-only

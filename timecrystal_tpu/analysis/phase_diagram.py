@@ -20,7 +20,7 @@ import numpy as np
 
 from ..core.truncate import TruncParams
 from ..parallel.sweep import SweepSpec, evolve_batch, evolve_batch_sharded, \
-    phase_grid_batch, _basis_indices
+    phase_grid_batch, _basis_indices, _resolve_svd_method
 from .detection import score_grid
 
 GRID_HARDCODED = dict(n_sites=16, n_periods=80, max_chi=24,
@@ -63,6 +63,11 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
     h_fields, taus, hs, Ts = phase_grid_batch(
         h_values, T_values, spec,
         disorder_seed=int(params.get("RANDOM_SEED", 42)))
+    # resolve svd_method='auto' ONCE from the FULL grid size so chunked
+    # (checkpoint_dir) and single-program runs pick the same kernel --
+    # per-chunk resolution could route a small chunk to a different SVD
+    # method than the whole grid, making chunk_size change the numerics
+    spec = _resolve_svd_method(spec, int(h_fields.shape[0]))
     basis = _basis_indices(spec.L, "neel")
     if mesh == "auto":
         import jax
@@ -98,6 +103,8 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
         from ..utils.checkpoint import SweepCheckpointer
 
         B = int(h_fields.shape[0])
+        if chunk_size is not None and int(chunk_size) < 0:
+            raise ValueError(f"chunk_size must be >= 0, got {chunk_size}")
         cs = int(chunk_size or max(1, -(-B // 8)))
         n_chunks = -(-B // cs)
         # everything that must MATCH for loaded chunks to align with this
@@ -190,6 +197,9 @@ def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
     h_fields = jnp.asarray(h_f[:, None] * J * base[None, :])
     taus = jnp.full((len(eps_f),), tau)
     thetas = jnp.asarray(np.pi * (1.0 - eps_f))
+    # full-grid svd_method resolution (same reasoning as sweep_phase_grid:
+    # chunking must not change which SVD kernel runs)
+    spec = _resolve_svd_method(spec, len(eps_f))
     basis = _basis_indices(L, "neel")
 
     if mesh == "auto":
@@ -204,6 +214,8 @@ def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
         return {k: np.asarray(v) for k, v in out.items()}
 
     B = len(eps_f)
+    if int(chunk_size) < 0:
+        raise ValueError(f"chunk_size must be >= 0, got {chunk_size}")
     cs = int(chunk_size) if chunk_size else B
     if cs >= B:
         traces = _evolve(h_fields, taus, thetas)
@@ -252,9 +264,13 @@ def generate_drive_diagram(params: Dict, mesh=None, out_dir: str = "figures",
 
     eps_values = np.linspace(*eps_range, n_eps)
     h_values = np.linspace(*h_range, n_h)
+    chunk_size = 40                      # sweep_drive_grid default
+    n_programs = -(-(n_eps * n_h) // chunk_size)
     print(f"Computing {n_eps * n_h} drive-strength points "
-          f"(one batched device program)...")
-    res = sweep_drive_grid(eps_values, h_values, params, mesh=mesh)
+          f"({n_programs} batched device program"
+          f"{'s' if n_programs != 1 else ''}, {chunk_size} points each)...")
+    res = sweep_drive_grid(eps_values, h_values, params, mesh=mesh,
+                           chunk_size=chunk_size)
     A2T = res["A2T"]
 
     fig, ax = plt.subplots(figsize=(10, 8))
