@@ -45,6 +45,12 @@ Examples:
                            "eps x disorder h/J) DTC melting diagram -- the "
                            "sweep the reference abstract advertises but "
                            "never implements")
+    mode.add_argument("--memory-diagram", action="store_true",
+                      help="Generate the DTC-as-quantum-memory lifetime "
+                           "figure: stored-bit envelope decay + tau_bit vs "
+                           "dephasing gamma against the bare-qubit T2 -- "
+                           "the coherence-lifetime modeling the reference "
+                           "abstract promises but never implements")
     parser.add_argument("--config", type=str, default=None,
                         help="Path to configuration file (default: auto-detect)")
     parser.add_argument("--synthetic-multisite", action="store_true",
@@ -116,11 +122,13 @@ def main() -> None:
         return
     print(f"Loaded {len(params)} parameters")
 
-    generate_phase = not (args.figures_only or args.drive_diagram)
-    generate_figures = not (args.phase_only or args.drive_diagram)
+    solo = args.drive_diagram or args.memory_diagram
+    generate_phase = not (args.figures_only or solo)
+    generate_figures = not (args.phase_only or solo)
     mode = ("Phase diagram only" if args.phase_only else
             "Individual figures A-D only" if args.figures_only else
             "Drive-strength diagram only" if args.drive_diagram else
+            "Memory-lifetime diagram only" if args.memory_diagram else
             "Both phase diagram and individual figures A-D")
     print(f"Mode: {mode}")
 
@@ -133,6 +141,13 @@ def main() -> None:
                 generate_drive_diagram
             import matplotlib.pyplot as plt
             generate_drive_diagram(params)
+            plt.close("all")
+
+        if args.memory_diagram:
+            import matplotlib.pyplot as plt
+
+            from timecrystal_tpu.analysis.memory import generate_memory_figure
+            generate_memory_figure(params)
             plt.close("all")
 
         if generate_phase:

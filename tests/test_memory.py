@@ -1,0 +1,128 @@
+"""Tests for analysis/memory.py: DTC-as-quantum-memory lifetimes.
+
+The reference advertises coherence-lifetime modeling (README abstract)
+but never implements it; these tests validate the TPU-native
+implementation against analytic anchors:
+  * exact-pi protection: dephasing can NEVER reach the stored bit
+    (z-basis-preserving Floquet map), so the envelope must be flat
+  * bare-qubit anchor: E[<sx>](t) = e^{-2 gamma t} => fitted T2 = 1/2gamma
+"""
+
+import numpy as np
+import pytest
+
+from timecrystal_tpu.analysis.memory import (fit_memory_lifetime,
+                                             memory_envelope,
+                                             scan_memory_lifetime)
+
+
+class TestEnvelopeAndFit:
+    def test_envelope_sign_correction(self):
+        # perfect DTC: staggered alternates -1, +1, -1, ... from period 1
+        n = 12
+        stag = np.array([(-1.0) ** p for p in range(1, n + 1)])
+        env = memory_envelope(stag)
+        np.testing.assert_allclose(env, 1.0, atol=1e-12)
+
+    def test_envelope_normalization(self):
+        n = 8
+        stag = 0.7 * np.array([(-1.0) ** p for p in range(1, n + 1)])
+        np.testing.assert_allclose(memory_envelope(stag), 1.0, atol=1e-12)
+        np.testing.assert_allclose(memory_envelope(stag, normalize=False),
+                                   0.7, atol=1e-12)
+
+    def test_fit_exponential(self):
+        t = np.linspace(2, 80, 40)
+        tau = fit_memory_lifetime(t, np.exp(-t / 7.0))
+        assert abs(tau - 7.0) < 1e-6
+
+    def test_fit_no_decay_is_inf(self):
+        t = np.linspace(2, 80, 40)
+        assert fit_memory_lifetime(t, np.ones(40)) == np.inf
+
+    def test_fit_ignores_noisy_tail(self):
+        # positive noise excursions BELOW the first floor crossing must not
+        # flatten the fit (the bias this module's fit was corrected for)
+        rng = np.random.default_rng(0)
+        t = np.linspace(2, 200, 100)
+        env = np.exp(-t / 10.0) + 0.0
+        env[t > 60] = rng.uniform(-0.2, 0.2, (t > 60).sum())
+        tau = fit_memory_lifetime(t, env)
+        assert abs(tau - 10.0) < 2.0
+
+    def test_fit_immediate_loss(self):
+        t = np.linspace(2, 80, 40)
+        env = np.zeros(40)
+        env[0] = 1.0
+        assert fit_memory_lifetime(t, env) <= t[1]
+
+    def test_fit_all_nan_is_nan(self):
+        t = np.linspace(2, 10, 5)
+        assert np.isnan(fit_memory_lifetime(t, np.full(5, np.nan)))
+
+
+class TestMemoryScan:
+    def test_exact_pi_protection(self):
+        """At eps=0 the Floquet map is z-basis-preserving: dephasing phases
+        never reach <sigma_z>, the envelope is EXACTLY flat at any gamma."""
+        res = scan_memory_lifetime([0.05], L=8, h_over_J=0.3, eps=0.0,
+                                   n_periods=16, n_trajectories=4, chi=16,
+                                   coherence_leg=False)
+        assert res["envelope"].min() > 0.999
+        # f32 roundoff leaves a ~1e-8 slope, so the fit may return a huge
+        # finite tau instead of inf; "protected" = orders of magnitude
+        # beyond the simulated window (t_max = 32 here)
+        assert res["tau_bit"][0] > 1e4
+
+    def test_bare_qubit_t2_anchor_and_protection_window(self):
+        """Fitted bare-qubit T2 must match 1/(2 gamma); the DTC bit must
+        outlive the bare qubit by a wide margin in the DTC phase."""
+        gamma = 0.05
+        res = scan_memory_lifetime([gamma], L=8, h_over_J=0.3, eps=0.04,
+                                   n_periods=40, n_trajectories=32, chi=16,
+                                   coherence_leg=True)
+        t2 = res["t2_qubit"][0]
+        assert abs(t2 - 10.0) / 10.0 < 0.3, t2          # 1/(2*0.05) = 10
+        np.testing.assert_allclose(res["t2_analytic"][0], 10.0)
+        # protection window: stored bit outlives the bare qubit
+        assert res["tau_bit"][0] > 5.0 * t2, (res["tau_bit"], t2)
+
+    def test_monotone_envelope_in_gamma(self):
+        """More dephasing, faster bit decay (at fixed eps > 0): the final
+        envelope must order inversely with gamma."""
+        res = scan_memory_lifetime([0.01, 0.2], L=8, h_over_J=0.3, eps=0.08,
+                                   n_periods=30, n_trajectories=16, chi=16,
+                                   coherence_leg=False)
+        final = res["envelope"][:, -5:].mean(axis=1)
+        assert final[0] > final[1], final
+
+    def test_chunked_matches_one_program(self):
+        """chunk_size (the axon worker-limit guard) never changes results:
+        the trajectory keys are position-independent, so chunked and
+        single-program runs are bit-identical."""
+        kw = dict(L=6, h_over_J=0.3, eps=0.05, n_periods=8,
+                  n_trajectories=5, chi=8, coherence_leg=False)
+        one = scan_memory_lifetime([0.02, 0.08], chunk_size=0, **kw)
+        chunked = scan_memory_lifetime([0.02, 0.08], chunk_size=3, **kw)
+        np.testing.assert_allclose(chunked["envelope"], one["envelope"],
+                                   atol=1e-12)
+
+    def test_negative_chunk_size_raises(self):
+        with pytest.raises(ValueError, match="chunk_size"):
+            scan_memory_lifetime([0.02], L=6, n_periods=2, chi=8,
+                                 n_trajectories=2, chunk_size=-1)
+
+    def test_figure_smoke(self, tmp_path):
+        """generate_memory_figure renders and saves both files."""
+        import matplotlib
+        matplotlib.use("Agg")
+
+        from timecrystal_tpu.analysis.memory import generate_memory_figure
+
+        fig, res = generate_memory_figure(
+            {"J": 1.0, "T_DRIVE": 2.0, "RANDOM_SEED": 42},
+            out_dir=str(tmp_path), gammas=[0.02, 0.1], L=6, n_periods=10,
+            n_trajectories=2, chi=8)
+        assert (tmp_path / "memory_lifetime.png").exists()
+        assert (tmp_path / "memory_lifetime.pdf").exists()
+        assert res["envelope"].shape == (2, 10)

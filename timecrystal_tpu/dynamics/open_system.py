@@ -47,8 +47,10 @@ from ..ops.cpx import C
 
 @partial(jax.jit, static_argnames=("n_periods", "tp"))
 def _evolve_stochastic_scan(psi0: MPS, gates, key, gamma_dt: float,
-                            n_periods: int, tp: TruncParams):
+                            n_periods: int, tp: TruncParams,
+                            ref_state: MPS | None = None):
     sz_op = G.pauli_c("z", psi0.dtype)
+    sx_op = G.pauli_c("x", psi0.dtype)
     L = psi0.L
 
     def period_fn(carry, k):
@@ -68,10 +70,14 @@ def _evolve_stochastic_scan(psi0: MPS, gates, key, gamma_dt: float,
                          jnp.stack([zero, ph.conj().im], -1)], -2))
         psi = apply_one_site_gates(psi, g)
         sz = expectation_one_site(psi, sz_op).re
-        return (psi, key), dict(sz_sites=sz,
-                                max_chi=jnp.max(bond_dimensions(psi)[1:-1],
-                                                initial=1),
-                                trunc_err=err)
+        sx = expectation_one_site(psi, sx_op).re
+        out = dict(sz_sites=sz, sx_sites=sx,
+                   max_chi=jnp.max(bond_dimensions(psi)[1:-1], initial=1),
+                   trunc_err=err)
+        if ref_state is not None:
+            from ..core.observables import calculate_loschmidt_echo
+            out["loschmidt_echo"] = calculate_loschmidt_echo(ref_state, psi)
+        return (psi, key), out
 
     (psi_f, key_f), tr = jax.lax.scan(period_fn, (psi0, key),
                                       jnp.arange(n_periods))
@@ -172,9 +178,12 @@ class OpenSystemEvolution:
         # np.asarray forces the device->host fetch (and thereby syncs)
         tr = {k: np.asarray(v)[:n_trajectories] for k, v in tr.items()}
         sz = tr["sz_sites"]                      # [T, n, L]
+        sx = tr["sx_sites"]
         traces = {
             "sz_sites": sz.mean(axis=0),
             "sz_sites_std": sz.std(axis=0),
+            "sx_sites": sx.mean(axis=0),
+            "sx_sites_std": sx.std(axis=0),
             "max_chi": np.asarray(tr["max_chi"]).max(axis=0),
             # full per-trajectory distributions (round-1 review: do not
             # max-reduce away the ensemble statistics)
