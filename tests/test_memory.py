@@ -112,6 +112,31 @@ class TestMemoryScan:
             scan_memory_lifetime([0.02], L=6, n_periods=2, chi=8,
                                  n_trajectories=2, chunk_size=-1)
 
+    def test_eps_axis_opens_the_channel(self):
+        """tau_bit(eps) at fixed gamma: larger pulse error, shorter stored-
+        bit lifetime (the channel's path into the bit opens with eps)."""
+        from timecrystal_tpu.analysis.memory import scan_memory_vs_eps
+
+        res = scan_memory_vs_eps([0.0, 0.12], gamma=0.1, L=8, h_over_J=0.3,
+                                 n_periods=24, n_trajectories=12, chi=16)
+        assert res["envelope"].shape == (2, 24)
+        # eps=0: exact protection (flat); eps=0.12: visible decay
+        final0 = res["envelope"][0, -4:].mean()
+        final1 = res["envelope"][1, -4:].mean()
+        assert final0 > 0.999, final0
+        assert final1 < final0 - 0.02, (final0, final1)
+        assert res["tau_bit"][1] < res["tau_bit"][0]
+
+    def test_eps_scan_chunked_matches_one_program(self):
+        from timecrystal_tpu.analysis.memory import scan_memory_vs_eps
+
+        kw = dict(gamma=0.05, L=6, h_over_J=0.3, n_periods=6,
+                  n_trajectories=4, chi=8)
+        one = scan_memory_vs_eps([0.0, 0.1], chunk_size=0, **kw)
+        chunked = scan_memory_vs_eps([0.0, 0.1], chunk_size=3, **kw)
+        np.testing.assert_allclose(chunked["envelope"], one["envelope"],
+                                   atol=1e-12)
+
     def test_figure_smoke(self, tmp_path):
         """generate_memory_figure renders and saves both files."""
         import matplotlib

@@ -33,7 +33,7 @@ from typing import Dict
 import numpy as np
 
 __all__ = ["memory_envelope", "fit_memory_lifetime", "scan_memory_lifetime",
-           "generate_memory_figure"]
+           "scan_memory_vs_eps", "generate_memory_figure"]
 
 
 def memory_envelope(staggered: np.ndarray, normalize: bool = True
@@ -86,6 +86,55 @@ def fit_memory_lifetime(times, envelope, floor: float = 0.05,
     if slope >= -1e-12:
         return float("inf")
     return float(-1.0 / slope)
+
+
+def _chunked_vmap(row_fn, arrays, chunk_size: int, mesh=None,
+                  axis_name: str = "batch") -> Dict:
+    """jax.vmap(row_fn) over equal-leading-axis ``arrays``, in chunks of one
+    shared padded program shape; returns the stacked host trace dict.
+
+    The chunking exists for the axon TPU worker's program-size limit
+    (same failure class and mitigation as analysis.phase_diagram's grid
+    sweeps: a single 192-row L=16 chi=48 program kernel-faults the
+    worker, measured).  Rows are position-independent (each carries its
+    own PRNG key / parameters), so chunked == single-program bit-exactly.
+    Padded tail/mesh rows are duplicates of row 0, sliced off after the
+    device fetch.  ``chunk_size=0`` forces one program.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if int(chunk_size) < 0:
+        raise ValueError(f"chunk_size must be >= 0, got {chunk_size}")
+
+    def _pad(chunk, n):
+        return [jnp.concatenate([c, jnp.tile(c[:1], (n,) + (1,) *
+                                             (c.ndim - 1))])
+                for c in chunk]
+
+    B = int(arrays[0].shape[0])
+    cs = int(chunk_size) if chunk_size else B
+    parts = []
+    for lo in range(0, B, cs):
+        hi = min(lo + cs, B)
+        chunk = [a[lo:hi] for a in arrays]
+        if hi - lo < cs:                 # ragged tail: pad so every chunk
+            chunk = _pad(chunk, cs - (hi - lo))  # reuses one program
+        if mesh is not None:
+            from ..parallel.sweep import _mesh_place
+
+            pad_m = (-int(chunk[0].shape[0])) % mesh.devices.size
+            if pad_m:
+                chunk = _pad(chunk, pad_m)
+            place = _mesh_place(mesh, axis_name)
+            chunk = [place(c) for c in chunk]
+        tr = jax.vmap(row_fn)(*chunk)
+        if mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            tr = multihost_utils.process_allgather(tr, tiled=True)
+        parts.append({k: np.asarray(v)[:hi - lo] for k, v in tr.items()})
+    return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
 
 
 def _x_plus_state(L: int, chi: int, dtype):
@@ -156,46 +205,14 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
                              theta=(1.0 - eps) * float(np.pi))
     psi0 = create_initial_state(L, "neel", chi=chi, dtype=dtype)
 
-    if int(chunk_size) < 0:
-        raise ValueError(f"chunk_size must be >= 0, got {chunk_size}")
-
     def one(key, gdt, psi, gates):
         return _evolve_stochastic_scan(psi, gates, key, gdt, int(n_periods),
                                        tp)[2]
 
-    def run_batch(keys, gdt_flat, psi, gates):
-        """Evolve a flattened (row = one trajectory at one gamma) batch in
-        chunks of one shared padded shape; returns host trace dict."""
-        B = int(keys.shape[0])
-        cs = int(chunk_size) if chunk_size else B
-        parts = []
-        for lo in range(0, B, cs):
-            hi = min(lo + cs, B)
-            ks, gs = keys[lo:hi], gdt_flat[lo:hi]
-            if hi - lo < cs:             # pad ragged tail chunk so every
-                pad = cs - (hi - lo)     # chunk reuses one compiled program
-                ks = jnp.concatenate([ks, jnp.tile(ks[:1], (pad, 1))])
-                gs = jnp.concatenate([gs, jnp.tile(gs[:1], (pad,))])
-            if mesh is not None:
-                from ..parallel.sweep import _mesh_place
-
-                pad_m = (-int(ks.shape[0])) % mesh.devices.size
-                if pad_m:                # dup rows sliced off after fetch
-                    ks = jnp.concatenate([ks, jnp.tile(ks[:1], (pad_m, 1))])
-                    gs = jnp.concatenate([gs, jnp.tile(gs[:1], (pad_m,))])
-                place = _mesh_place(mesh, axis_name)
-                ks, gs = place(ks), place(gs)
-            tr = jax.vmap(lambda k, g: one(k, g, psi, gates))(ks, gs)
-            if mesh is not None and jax.process_count() > 1:
-                from jax.experimental import multihost_utils
-
-                tr = multihost_utils.process_allgather(tr, tiled=True)
-            parts.append({k: np.asarray(v)[:hi - lo] for k, v in tr.items()})
-        return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
-
     keys = jax.random.split(jax.random.PRNGKey(traj_seed), G * T)
     gdt_flat = jnp.asarray(np.repeat(gammas * dt, T), dtype)
-    tr = run_batch(keys, gdt_flat, psi0, model.gates)
+    tr = _chunked_vmap(lambda k, g: one(k, g, psi0, model.gates),
+                       (keys, gdt_flat), chunk_size, mesh, axis_name)
     sz = tr["sz_sites"].reshape(G, T, n_periods, L)
     signs = np.asarray(staggered_signs(L))
     stag = (sz * signs).sum(axis=-1) / L                  # [G, T, n]
@@ -225,7 +242,8 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
         psix = _x_plus_state(L, chi, dtype)
         keys2 = jax.random.split(jax.random.PRNGKey(traj_seed + 1), G * T)
         gdt2 = jnp.asarray(np.repeat(gammas * dt, T), dtype)
-        tr2 = run_batch(keys2, gdt2, psix, idle.gates)
+        tr2 = _chunked_vmap(lambda k, g: one(k, g, psix, idle.gates),
+                            (keys2, gdt2), chunk_size, mesh, axis_name)
         sx = tr2["sx_sites"].reshape(G, T, n_periods, L)
         sx_mean = sx.mean(axis=(1, 3))                    # [G, n]
         out["sx_coherence"] = sx_mean
@@ -235,6 +253,76 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
             out["t2_analytic"] = np.where(gammas > 0, 1.0 / (2.0 * gammas),
                                           np.inf)
     return out
+
+
+def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
+                       h_over_J: float = 0.3, J: float = 1.0,
+                       tau: float = 1.0, n_periods: int = 100,
+                       n_trajectories: int = 32, chi: int = 48,
+                       disorder_seed: int = 42, traj_seed: int = 0,
+                       mesh=None, axis_name: str = "batch",
+                       chunk_size: int = 40) -> Dict:
+    """Stored-bit lifetime vs pulse imperfection at fixed dephasing rate.
+
+    The pulse error eps = 1 - theta/pi is the knob that opens the
+    dephasing channel's path into the stored bit (at eps = 0 the
+    protection is exact -- see scan_memory_lifetime docstring), so
+    tau_bit(eps) at fixed gamma is the memory budget a device designer
+    actually reads: how much pulse miscalibration the DTC phase absorbs
+    before the stored bit decays on the bare-qubit timescale.
+
+    The kick angle is one more vmapped axis: gates are built INSIDE the
+    vmapped row (make_floquet_gates is traceable in theta,
+    models/kicked_ising.py:72-97), so the whole (eps x trajectory) grid
+    shares one compiled program shape per chunk.
+
+    Returns {"eps", "times", "envelope" [E, n], "envelope_std", "tau_bit"
+    [E], "gamma"}.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.mps import create_initial_state
+    from ..core.observables import staggered_signs
+    from ..core.truncate import TruncParams
+    from ..dynamics.open_system import _evolve_stochastic_scan
+    from ..models.kicked_ising import (draw_disorder_reference,
+                                       make_floquet_gates)
+
+    eps_values = np.asarray(eps_values, float)
+    E, T = int(eps_values.size), int(n_trajectories)
+    dt = 2.0 * tau
+    dtype = jnp.float32
+    tp = TruncParams(chi_max=0, svd_min=1e-7)
+
+    h_fields = jnp.asarray(
+        draw_disorder_reference(L, h_over_J * J, disorder_seed), dtype)
+    psi0 = create_initial_state(L, "neel", chi=chi, dtype=dtype)
+    gdt = jnp.asarray(gamma * dt, dtype)
+
+    def one(key, theta):
+        gates = make_floquet_gates(J, h_fields, tau, theta=theta,
+                                   dtype=dtype)
+        return _evolve_stochastic_scan(psi0, gates, key, gdt,
+                                       int(n_periods), tp)[2]
+
+    keys = jax.random.split(jax.random.PRNGKey(traj_seed), E * T)
+    thetas = jnp.asarray(np.repeat(np.pi * (1.0 - eps_values), T), dtype)
+    tr = _chunked_vmap(one, (keys, thetas), chunk_size, mesh, axis_name)
+    sz = tr["sz_sites"].reshape(E, T, n_periods, L)
+    signs = np.asarray(staggered_signs(L))
+    stag = (sz * signs).sum(axis=-1) / L
+    env_traj = memory_envelope(stag, normalize=False)
+    env_mean = env_traj.mean(axis=1)
+    ref = np.abs(env_mean[:, :1])
+    ref = np.where(ref > 1e-12, ref, 1.0)
+    envelope = env_mean / ref
+    times = (np.arange(n_periods) + 1) * dt
+    tau_bit = np.array([fit_memory_lifetime(times, envelope[e])
+                        for e in range(E)])
+    return {"eps": eps_values, "times": times, "envelope": envelope,
+            "envelope_std": env_traj.std(axis=1) / ref, "tau_bit": tau_bit,
+            "gamma": float(gamma), "h_over_J": float(h_over_J), "L": int(L)}
 
 
 def generate_memory_figure(params: Dict, out_dir: str = "figures",
