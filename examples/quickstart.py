@@ -148,6 +148,23 @@ def interaction_range() -> None:
         label = "inf (NN)" if a is None else f"{a:.1f}"
         print(f"  alpha = {label:8s}: A2T = {v:.3f} +- {s:.3f}")
 
+    memory_lifetime()
+
+
+def memory_lifetime() -> None:
+    """DTC as a quantum memory (the reference abstract's end goal): how
+    long does the stored Ising bit survive dephasing, vs the bare qubit's
+    T2 = 1/(2 gamma)?  One chunked (gamma x trajectory) device program."""
+    from timecrystal_tpu.analysis.memory import scan_memory_lifetime
+
+    res = scan_memory_lifetime([0.01, 0.05], L=10, h_over_J=0.3, eps=0.04,
+                               n_periods=40, n_trajectories=8, chi=24)
+    print("\nDTC memory lifetime vs dephasing (L=10, eps=0.04):")
+    for g, tb, t2 in zip(res["gammas"], res["tau_bit"], res["t2_qubit"]):
+        print(f"  gamma = {g:.3f}: stored-bit tau = {tb:8.1f} J^-1,  "
+              f"bare-qubit T2 = {t2:6.1f} J^-1  "
+              f"(protection x{tb / t2:.0f})")
+
 
 if __name__ == "__main__":
     main()

@@ -137,6 +137,24 @@ class TestMemoryScan:
         np.testing.assert_allclose(chunked["envelope"], one["envelope"],
                                    atol=1e-12)
 
+    def test_mesh_sharded_matches_single_device(self):
+        """Sharding the flattened (gamma x trajectory) batch over the
+        virtual 8-device mesh changes placement only: traces bit-equal to
+        the unsharded run (keys are position-independent; padded rows are
+        sliced off before statistics)."""
+        import jax
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs the multi-device virtual mesh")
+        kw = dict(L=6, h_over_J=0.3, eps=0.05, n_periods=6,
+                  n_trajectories=3, chi=8, coherence_leg=False)
+        base = scan_memory_lifetime([0.02, 0.08], **kw)
+        mesh = Mesh(np.asarray(jax.devices()), ("batch",))
+        sharded = scan_memory_lifetime([0.02, 0.08], mesh=mesh, **kw)
+        np.testing.assert_allclose(sharded["envelope"], base["envelope"],
+                                   atol=1e-12)
+
     def test_figure_smoke(self, tmp_path):
         """generate_memory_figure renders and saves both files."""
         import matplotlib
