@@ -4,9 +4,9 @@ The reference frames its whole codebase as a study of DTCs as passively
 protected quantum memories and promises to "set the stage to model their
 coherence lifetimes" (/root/reference/README.md:17, abstract) -- but no
 reference code computes a lifetime.  This module closes that gap
-TPU-first: ONE vmapped device program evolves the full
-(gamma x trajectory) ensemble of stochastic dephasing channels
-(dynamics/open_system._evolve_stochastic_scan) and extracts
+TPU-first: chunked vmapped device programs (one shared compiled shape)
+evolve the full (gamma x trajectory) ensemble of stochastic dephasing
+channels (dynamics/open_system._evolve_stochastic_scan) and extract
 
   * ``tau_bit(gamma)``: lifetime of the CLASSICAL Ising bit stored in
     the period-doubled response -- log-linear fit of the sign-corrected
@@ -60,12 +60,13 @@ def fit_memory_lifetime(times, envelope, floor: float = 0.05,
                         min_points: int = 4) -> float:
     """Lifetime tau from a log-linear fit of a decaying envelope.
 
-    Fits log(env) = a - t/tau over the samples with env > ``floor``
-    (below the floor the envelope is noise-dominated and the log fit
-    would be biased by the tail).  Returns np.inf when the envelope does
-    not decay (slope >= 0, or fewer than ``min_points`` usable samples
-    with no visible decay) and np.nan when the trace is unusable
-    (non-finite from the start).
+    Fits log(env) = a - t/tau over the CONTIGUOUS PREFIX of samples
+    before the first crossing below ``floor`` (past it the ensemble mean
+    is noise-dominated and the log fit would be biased -- see inline
+    note).  Returns np.inf when the envelope does not decay (slope >= 0),
+    the first-crossing time when it decays within ``min_points`` samples
+    (fast loss), and np.nan when the trace is unusable (non-finite
+    everywhere).
     """
     t = np.asarray(times, float)
     env = np.asarray(envelope, float)
@@ -327,13 +328,16 @@ def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
 
 def generate_memory_figure(params: Dict, out_dir: str = "figures",
                            gammas=None, mesh=None, **scan_kwargs) -> tuple:
-    """Render the memory-lifetime figure: envelope decay + tau vs gamma.
+    """Render the memory-lifetime figure: envelope decay, tau vs gamma,
+    tau vs pulse error.
 
     New deliverable (no reference filename to preserve):
     figures/memory_lifetime.{png,pdf}.  Left panel: stored-bit envelope
-    vs time per gamma; right panel: tau_bit(gamma) against the bare-qubit
-    T2 = 1/(2 gamma) line -- the protection window is the gap between
-    the two curves.
+    vs time per gamma; middle panel: tau_bit(gamma) against the
+    bare-qubit T2 = 1/(2 gamma) line -- the protection window is the gap
+    between the two curves; right panel (``eps_values``, on by default):
+    tau_bit(eps) at fixed ``eps_gamma`` -- the pulse-miscalibration
+    budget.
     """
     import matplotlib
     matplotlib.use("Agg")
@@ -341,13 +345,24 @@ def generate_memory_figure(params: Dict, out_dir: str = "figures",
 
     if gammas is None:
         gammas = np.logspace(-3, -1.3, 6)
+    eps_values = scan_kwargs.pop("eps_values",
+                                 [0.0, 0.02, 0.04, 0.06, 0.09, 0.12])
+    eps_gamma = scan_kwargs.pop("eps_gamma", 0.02)
     scan_kwargs.setdefault("J", float(params.get("J", 1.0)))
     scan_kwargs.setdefault("tau", float(params.get("T_DRIVE", 2.0)) /
                            (2.0 * scan_kwargs["J"]))
     scan_kwargs.setdefault("disorder_seed", int(params.get("RANDOM_SEED", 42)))
     res = scan_memory_lifetime(gammas, mesh=mesh, **scan_kwargs)
+    res_eps = None
+    if eps_values is not None:
+        eps_kwargs = {k: v for k, v in scan_kwargs.items()
+                      if k not in ("eps", "coherence_leg", "traj_seed")}
+        res_eps = scan_memory_vs_eps(eps_values, eps_gamma, mesh=mesh,
+                                     **eps_kwargs)
 
-    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(14, 6))
+    n_panels = 3 if res_eps is not None else 2
+    fig, axes = plt.subplots(1, n_panels, figsize=(7 * n_panels, 6))
+    ax1, ax2 = axes[0], axes[1]
     cmap = plt.get_cmap("viridis")
     for g, gamma in enumerate(res["gammas"]):
         c = cmap(g / max(len(res["gammas"]) - 1, 1))
@@ -366,7 +381,8 @@ def generate_memory_figure(params: Dict, out_dir: str = "figures",
                   rf"$h/J={res['h_over_J']}$, $\epsilon={res['eps']}$)",
                   fontsize=15)
 
-    finite = np.isfinite(res["tau_bit"])
+    finite = np.isfinite(res["tau_bit"]) & \
+        (res["tau_bit"] < 100.0 * res["times"][-1])   # see eps-panel note
     ax2.loglog(res["gammas"][finite], res["tau_bit"][finite], "o-",
                color="#1f77b4", label=r"DTC bit lifetime $\tau_{bit}$")
     if np.any(~finite):
@@ -385,6 +401,34 @@ def generate_memory_figure(params: Dict, out_dir: str = "figures",
     ax2.set_ylabel(r"Lifetime $\tau J$", fontsize=16)
     ax2.legend(fontsize=12)
     ax2.set_title("Memory lifetime vs dephasing", fontsize=15)
+
+    if res_eps is not None:
+        ax3 = axes[2]
+        tb = res_eps["tau_bit"]
+        # a fit to an f32-roundoff-flat envelope returns a huge FINITE tau
+        # (e.g. 1e11 at eps=0); beyond ~100x the simulated window that is
+        # "no decay within run", and plotting it literally would compress
+        # every resolved point into one decade
+        finite3 = np.isfinite(tb) & (tb < 100.0 * res_eps["times"][-1])
+        ax3.semilogy(res_eps["eps"][finite3], tb[finite3], "o-",
+                     color="#1f77b4", label=r"$\tau_{bit}(\epsilon)$")
+        if np.any(~finite3):
+            top3 = np.nanmax(tb[finite3]) if np.any(finite3) \
+                else res_eps["times"][-1]
+            ax3.scatter(res_eps["eps"][~finite3],
+                        np.full((~finite3).sum(), top3 * 2), marker="^",
+                        color="#1f77b4",
+                        label=r"no decay within run ($\tau \to \infty$)")
+        ax3.axhline(1.0 / (2.0 * res_eps["gamma"]), color="k",
+                    linestyle="--",
+                    label=rf"bare qubit $T_2$ at $\gamma/J = "
+                          rf"{res_eps['gamma']:g}$")
+        ax3.set_xlabel(r"Pulse imperfection $\epsilon = 1 - \theta/\pi$",
+                       fontsize=16)
+        ax3.set_ylabel(r"Lifetime $\tau J$", fontsize=16)
+        ax3.legend(fontsize=12)
+        ax3.set_title(rf"Pulse-error budget  ($\gamma/J = "
+                      rf"{res_eps['gamma']:g}$)", fontsize=15)
     plt.tight_layout(pad=1.5)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -392,4 +436,6 @@ def generate_memory_figure(params: Dict, out_dir: str = "figures",
         fig.savefig(os.path.join(out_dir, f"memory_lifetime.{ext}"),
                     bbox_inches="tight", facecolor="white", **kw)
     print(f"Memory-lifetime figure saved to {out_dir}/memory_lifetime.png/.pdf")
+    if res_eps is not None:
+        res["eps_scan"] = res_eps
     return fig, res
