@@ -89,6 +89,18 @@ def fit_memory_lifetime(times, envelope, floor: float = 0.05,
     return float(-1.0 / slope)
 
 
+def _auto_chunk(chi: int) -> int:
+    """Default rows-per-program for the axon worker's program-size limit.
+
+    The measured fault boundary scales roughly with rows * chi^2 VMEM
+    footprint: 40 rows at chi=48 runs, 120 at chi=48 and 32 at chi=96
+    kernel-fault (this module + analysis/phase_diagram +
+    examples/phase_diagram_hires measurements).  ~92k row*chi^2 with
+    headroom; floor 4 so tiny rows still batch.
+    """
+    return max(4, (92_160 // max(chi * chi, 1)))
+
+
 def _chunked_vmap(row_fn, arrays, chunk_size: int, mesh=None,
                   axis_name: str = "batch") -> Dict:
     """jax.vmap(row_fn) over equal-leading-axis ``arrays``, in chunks of one
@@ -159,7 +171,7 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
                          chi: int = 48, disorder_seed: int = 42,
                          traj_seed: int = 0, coherence_leg: bool = True,
                          mesh=None, axis_name: str = "batch",
-                         chunk_size: int = 40) -> Dict:
+                         chunk_size: int | None = None) -> Dict:
     """Memory-lifetime sweep over dephasing rates, chunked device programs.
 
     Evolves ``len(gammas) * n_trajectories`` stochastic-dephasing
@@ -173,8 +185,10 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
     The batch evolves in chunks of ``chunk_size`` rows per device program
     (padded to one shared compiled shape): a single 192-trajectory
     program at L=16 chi=48 kernel-faults the axon TPU worker (measured;
-    same failure class and default as analysis.phase_diagram.
-    sweep_drive_grid).  Pass ``chunk_size=0`` to force one program.
+    same failure class as analysis.phase_diagram.sweep_drive_grid).
+    Default None = chi-aware auto (_auto_chunk: the fault boundary
+    scales ~ rows * chi^2, so chi=96 needs ~4x smaller chunks than
+    chi=48, measured).  Pass ``chunk_size=0`` to force one program.
 
     Returns a dict with:
       gammas [G]; times [n]
@@ -205,6 +219,9 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
                              disorder_seed=disorder_seed, chi=chi,
                              theta=(1.0 - eps) * float(np.pi))
     psi0 = create_initial_state(L, "neel", chi=chi, dtype=dtype)
+
+    if chunk_size is None:
+        chunk_size = _auto_chunk(chi)
 
     def one(key, gdt, psi, gates):
         return _evolve_stochastic_scan(psi, gates, key, gdt, int(n_periods),
@@ -262,7 +279,7 @@ def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
                        n_trajectories: int = 32, chi: int = 48,
                        disorder_seed: int = 42, traj_seed: int = 0,
                        mesh=None, axis_name: str = "batch",
-                       chunk_size: int = 40) -> Dict:
+                       chunk_size: int | None = None) -> Dict:
     """Stored-bit lifetime vs pulse imperfection at fixed dephasing rate.
 
     The pulse error eps = 1 - theta/pi is the knob that opens the
@@ -296,6 +313,8 @@ def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
     dtype = jnp.float32
     tp = TruncParams(chi_max=0, svd_min=1e-7)
 
+    if chunk_size is None:
+        chunk_size = _auto_chunk(chi)
     h_fields = jnp.asarray(
         draw_disorder_reference(L, h_over_J * J, disorder_seed), dtype)
     psi0 = create_initial_state(L, "neel", chi=chi, dtype=dtype)
