@@ -294,6 +294,14 @@ def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
     models/kicked_ising.py:72-97), so the whole (eps x trajectory) grid
     shares one compiled program shape per chunk.
 
+    chi convergence (measured on the TPU, L=16, h/J=0.3, gamma=0.02,
+    100 periods, 16 trajectories): tau_bit is converged at the default
+    chi=48 for eps <= 0.06 (chi 48 -> 96 moves it 0.02%); at eps = 0.12
+    the same doubling moves tau_bit by -6% (truncation suppresses the
+    entanglement-mediated decay channel, slightly flattering the
+    lifetime) -- raise ``chi`` for quantitative work at large pulse
+    error.
+
     Returns {"eps", "times", "envelope" [E, n], "envelope_std", "tau_bit"
     [E], "gamma"}.
     """
