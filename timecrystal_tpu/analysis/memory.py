@@ -32,6 +32,8 @@ from typing import Dict
 
 import numpy as np
 
+from ..utils.backend import auto_chunk_rows as _auto_chunk
+
 __all__ = ["memory_envelope", "fit_memory_lifetime", "scan_memory_lifetime",
            "scan_memory_vs_eps", "generate_memory_figure"]
 
@@ -89,16 +91,6 @@ def fit_memory_lifetime(times, envelope, floor: float = 0.05,
     return float(-1.0 / slope)
 
 
-def _auto_chunk(chi: int) -> int:
-    """Default rows-per-program for the axon worker's program-size limit.
-
-    The measured fault boundary scales roughly with rows * chi^2 VMEM
-    footprint: 40 rows at chi=48 runs, 120 at chi=48 and 32 at chi=96
-    kernel-fault (this module + analysis/phase_diagram +
-    examples/phase_diagram_hires measurements).  ~92k row*chi^2 with
-    headroom; floor 4 so tiny rows still batch.
-    """
-    return max(4, (92_160 // max(chi * chi, 1)))
 
 
 def _chunked_vmap(row_fn, arrays, chunk_size: int, mesh=None,

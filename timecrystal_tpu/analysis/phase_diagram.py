@@ -147,7 +147,7 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
 def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
                      chi_pad: int = 48, n_sites: int | None = None,
                      n_periods: int | None = None,
-                     chunk_size: int = 40) -> Dict:
+                     chunk_size: int | None = None) -> Dict:
     """Drive-strength phase diagram: pulse imperfection eps x disorder h/J.
 
     The canonical DTC "melting" diagram (Yao et al., PRL 118, 030401):
@@ -166,8 +166,11 @@ def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
     program (padded to one shared compiled shape): a single 120-point
     program at chi_pad=48 kernel-faults the axon TPU worker (measured;
     same failure class as the >120-point chi_pad=32 limit recorded in
-    examples/phase_diagram_hires.py).  Pass ``chunk_size=0`` to force one
-    program (fine on CPU and on backends without the worker limit).
+    examples/phase_diagram_hires.py).  Default None = chi-aware auto
+    (utils.backend.auto_chunk_rows: the fault boundary scales
+    ~ rows * chi^2; = 40 at the default chi_pad=48).  Pass
+    ``chunk_size=0`` to force one program (fine on CPU and on backends
+    without the worker limit).
 
     Returns {"A2T": [n_eps, n_h] array, "eps", "hs", "traces", "records"}.
     """
@@ -213,6 +216,9 @@ def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
             out = evolve_batch(hf, tf, basis, spec, thetas=th)
         return {k: np.asarray(v) for k, v in out.items()}
 
+    if chunk_size is None:
+        from ..utils.backend import auto_chunk_rows
+        chunk_size = auto_chunk_rows(chi_pad)
     B = len(eps_f)
     if int(chunk_size) < 0:
         raise ValueError(f"chunk_size must be >= 0, got {chunk_size}")
@@ -262,9 +268,11 @@ def generate_drive_diagram(params: Dict, mesh=None, out_dir: str = "figures",
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    from ..utils.backend import auto_chunk_rows
+
     eps_values = np.linspace(*eps_range, n_eps)
     h_values = np.linspace(*h_range, n_h)
-    chunk_size = 40                      # sweep_drive_grid default
+    chunk_size = auto_chunk_rows(48)     # sweep_drive_grid default chi_pad
     n_programs = -(-(n_eps * n_h) // chunk_size)
     print(f"Computing {n_eps * n_h} drive-strength points "
           f"({n_programs} batched device program"

@@ -54,3 +54,20 @@ def ensure_responsive_backend(warn: bool = True) -> bool:
               "the deadline (wedged/absent TPU worker); falling back to "
               "the CPU backend.", file=sys.stderr)
     return True
+
+
+def auto_chunk_rows(chi: int) -> int:
+    """Default rows-per-device-program under the axon worker's
+    program-size limit.
+
+    Big vmapped TEBD batches kernel-fault the TPU worker; the measured
+    fault boundary scales roughly with rows * chi^2 VMEM footprint
+    (40 rows at chi=48 runs, 120 at chi=48 and 32 at chi=96 fault --
+    analysis/phase_diagram, analysis/memory, and
+    examples/phase_diagram_hires measurements).  ~92k row*chi^2 keeps
+    headroom; floor 4 so tiny rows still batch.  Chunking never changes
+    results (rows are position-independent; chunked == single-program
+    bit-exactly, tested), so the only cost of a conservative default is
+    dispatch overhead.
+    """
+    return max(4, (92_160 // max(int(chi) * int(chi), 1)))
