@@ -34,6 +34,26 @@ class TestStochasticDephasing:
         assert np.all(np.abs(traces["sz_sites"]) <= 1 + 1e-6)
         assert len(times) == 10
 
+    def test_loschmidt_echo_traced_and_protected(self):
+        """Traces carry loschmidt_echo vs psi0; at an EXACT pi pulse with a
+        z-basis start, pure-Z dephasing never touches the return fidelity:
+        LE alternates exactly 0 (odd periods: anti-Neel) / 1 (even
+        periods) at any gamma -- the stored-bit protection seen through
+        the fidelity observable."""
+        m = KickedIsingModel(6, 1.0, 0.3, 1.0, disorder_seed=3, dtype=DTYPE)
+        psi0 = create_initial_state(6, "neel", chi=16, dtype=DTYPE)
+        traces, _, _ = OpenSystemEvolution(m, gamma=0.2,
+                                           max_chi=16).evolve(psi0, 8)
+        le = traces["loschmidt_echo"]
+        assert le.shape == (8,)
+        np.testing.assert_allclose(le[0::2], 0.0, atol=1e-10)  # periods 1,3..
+        np.testing.assert_allclose(le[1::2], 1.0, atol=1e-10)  # periods 2,4..
+        # ensemble path carries the channel-averaged fidelity too
+        tr_e, _, _ = OpenSystemEvolution(m, gamma=0.2, max_chi=16) \
+            .evolve_ensemble(psi0, 4, n_trajectories=3)
+        np.testing.assert_allclose(tr_e["loschmidt_echo"][1::2], 1.0,
+                                   atol=1e-10)
+
     def test_evolve_floquet_period_single(self):
         from timecrystal_tpu.core.mps import norm_squared
         m = KickedIsingModel(6, 1.0, 0.2, 1.0, disorder_seed=1, dtype=DTYPE)

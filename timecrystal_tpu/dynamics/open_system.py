@@ -127,11 +127,15 @@ class OpenSystemEvolution:
         return psi_f
 
     def evolve(self, psi0: MPS, n_periods: int) -> Tuple[Dict, List[float], Dict]:
-        """Single-trajectory evolution returning (traces, times, info)."""
+        """Single-trajectory evolution returning (traces, times, info).
+
+        Traces carry the same observable surface as CustomFloquet
+        (sz_sites / sx_sites / derived magnetizations / loschmidt_echo
+        vs psi0, all in-scan)."""
         start = time.time()
         psi_f, self._key, tr = _evolve_stochastic_scan(
             psi0, self.model.gates, self._key, self.gamma * self._dt(),
-            n_periods, self.trunc_params)
+            n_periods, self.trunc_params, ref_state=psi0)
         jax.block_until_ready(tr["sz_sites"])
         traces = {k: np.asarray(v) for k, v in tr.items()}
         _add_derived_traces(traces, psi0.L)
@@ -160,7 +164,7 @@ class OpenSystemEvolution:
         start = time.time()
         fn = jax.vmap(lambda k: _evolve_stochastic_scan(
             psi0, self.model.gates, k, self.gamma * self._dt(), n_periods,
-            self.trunc_params)[2])
+            self.trunc_params, ref_state=psi0)[2])
         traj_keys = keys[1:]
         if mesh is not None:
             from ..parallel.sweep import _mesh_place
@@ -184,6 +188,8 @@ class OpenSystemEvolution:
             "sz_sites_std": sz.std(axis=0),
             "sx_sites": sx.mean(axis=0),
             "sx_sites_std": sx.std(axis=0),
+            # channel-averaged return fidelity E|<psi0|psi(t)>|^2
+            "loschmidt_echo": tr["loschmidt_echo"].mean(axis=0),
             "max_chi": np.asarray(tr["max_chi"]).max(axis=0),
             # full per-trajectory distributions (round-1 review: do not
             # max-reduce away the ensemble statistics)
