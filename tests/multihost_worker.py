@@ -141,6 +141,18 @@ def _compute_all(mh=None):
     out.update({f"site_{k}": np.asarray(v)
                 for k, v in site_tr.items()
                 if k in ("sz_sites", "loschmidt_echo", "trunc_err")})
+
+    # memory-channel ensemble (analysis/memory): the (gamma x trajectory)
+    # stochastic-dephasing batch over the global mesh; keys are
+    # deterministic so every rank builds identical rows and the
+    # allgathered envelope must match the unsharded reference bit-exactly
+    from timecrystal_tpu.analysis.memory import scan_memory_lifetime
+
+    mem = scan_memory_lifetime([0.02, 0.08], L=6, h_over_J=0.3, eps=0.05,
+                               n_periods=3, n_trajectories=3, chi=8,
+                               coherence_leg=False,
+                               mesh=mh.global_mesh() if mh else None)
+    out["memory_envelope"] = np.asarray(mem["envelope"])
     return out
 
 

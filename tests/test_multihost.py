@@ -107,6 +107,9 @@ class TestTwoProcessCluster:
         for k in ("sz_sites", "loschmidt_echo", "trunc_err"):   # site leg
             np.testing.assert_allclose(r0[f"site_{k}"], ref[f"site_{k}"],
                                        atol=1e-13, err_msg=k)
+        # memory-channel leg (analysis/memory over the global mesh)
+        np.testing.assert_allclose(r0["memory_envelope"],
+                                   ref["memory_envelope"], atol=1e-12)
 
     def test_checkpoint_rejected_multiprocess(self):
         """The staged driver must REFUSE checkpoint_dir on a multi-process
