@@ -5,8 +5,9 @@ protected quantum memories and promises to "set the stage to model their
 coherence lifetimes" (/root/reference/README.md:17, abstract) -- but no
 reference code computes a lifetime.  This module closes that gap
 TPU-first: chunked vmapped device programs (one shared compiled shape)
-evolve the full (gamma x trajectory) ensemble of stochastic dephasing
-channels (dynamics/open_system._evolve_stochastic_scan) and extract
+evolve the full (gamma x disorder realization x trajectory) ensemble of
+stochastic dephasing channels
+(dynamics/open_system._evolve_stochastic_scan) and extract
 
   * ``tau_bit(gamma)``: lifetime of the CLASSICAL Ising bit stored in
     the period-doubled response -- log-linear fit of the sign-corrected
@@ -160,19 +161,24 @@ def _x_plus_state(L: int, chi: int, dtype):
 def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
                          eps: float = 0.04, J: float = 1.0, tau: float = 1.0,
                          n_periods: int = 100, n_trajectories: int = 32,
-                         chi: int = 48, disorder_seed: int = 42,
+                         n_realizations: int = 1, chi: int = 48,
+                         disorder_seed: int = 42,
                          traj_seed: int = 0, coherence_leg: bool = True,
                          mesh=None, axis_name: str = "batch",
                          chunk_size: int | None = None) -> Dict:
     """Memory-lifetime sweep over dephasing rates, chunked device programs.
 
-    Evolves ``len(gammas) * n_trajectories`` stochastic-dephasing
-    trajectories of the kicked-Ising DTC (theta = pi(1 - eps), one
-    disorder realization from ``disorder_seed``) as a flattened vmapped
-    batch -- gamma is just one more traced scan constant, so the whole
-    (gamma x trajectory) grid shares one compiled program shape; pass
-    ``mesh`` to shard the flattened batch over devices (same contract as
-    open_system.evolve_ensemble).
+    Evolves ``len(gammas) * n_realizations * n_trajectories``
+    stochastic-dephasing trajectories of the kicked-Ising DTC
+    (theta = pi(1 - eps); disorder draws use the reference MT19937
+    convention at seeds ``disorder_seed + r``) as one flattened vmapped
+    batch -- gamma is a traced scan constant and the disorder fields are
+    a per-row gate input, so the whole (gamma x realization x trajectory)
+    grid shares one compiled program shape; pass ``mesh`` to shard the
+    flattened batch over devices (same contract as
+    open_system.evolve_ensemble).  Envelope statistics pool disorder and
+    channel noise (mean/std over the combined realization x trajectory
+    sample axis).
 
     The batch evolves in chunks of ``chunk_size`` rows per device program
     (padded to one shared compiled shape): a single 192-trajectory
@@ -184,8 +190,8 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
 
     Returns a dict with:
       gammas [G]; times [n]
-      envelope [G, n]        trajectory-mean sign-corrected bit envelope
-      envelope_std [G, n]    trajectory std (sampling error band)
+      envelope [G, n]        sample-mean sign-corrected bit envelope
+      envelope_std [G, n]    sample std (disorder + channel noise band)
       tau_bit [G]            fitted classical-bit lifetime (inf = no decay)
       sx_coherence [G, n]    (coherence_leg) mean <sx> of undriven |+x>
       t2_qubit [G]           (coherence_leg) fitted bare-qubit T2
@@ -198,18 +204,23 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
     from ..core.observables import staggered_signs
     from ..core.truncate import TruncParams
     from ..dynamics.open_system import _evolve_stochastic_scan
-    from ..models.kicked_ising import KickedIsingModel
+    from ..models.kicked_ising import (KickedIsingModel,
+                                       draw_disorder_reference,
+                                       make_floquet_gates)
 
     gammas = np.asarray(gammas, float)
     G = int(gammas.size)
+    R = int(n_realizations)
     T = int(n_trajectories)
     dt = 2.0 * tau                       # one Floquet period
     dtype = jnp.float32
     tp = TruncParams(chi_max=0, svd_min=1e-7)
+    theta = (1.0 - eps) * float(np.pi)
 
-    model = KickedIsingModel(L, J=J, h_disorder=h_over_J * J, tau=tau,
-                             disorder_seed=disorder_seed, chi=chi,
-                             theta=(1.0 - eps) * float(np.pi))
+    h_all = np.stack([draw_disorder_reference(L, h_over_J * J,
+                                              disorder_seed + r)
+                      for r in range(R)])                 # [R, L]
+    h_rows = jnp.asarray(np.tile(np.repeat(h_all, T, axis=0), (G, 1)), dtype)
     psi0 = create_initial_state(L, "neel", chi=chi, dtype=dtype)
 
     if chunk_size is None:
@@ -219,17 +230,25 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
         return _evolve_stochastic_scan(psi, gates, key, gdt, int(n_periods),
                                        tp)[2]
 
-    keys = jax.random.split(jax.random.PRNGKey(traj_seed), G * T)
-    gdt_flat = jnp.asarray(np.repeat(gammas * dt, T), dtype)
-    tr = _chunked_vmap(lambda k, g: one(k, g, psi0, model.gates),
-                       (keys, gdt_flat), chunk_size, mesh, axis_name)
-    sz = tr["sz_sites"].reshape(G, T, n_periods, L)
+    def one_disordered(key, gdt, h_row):
+        # gates are built INSIDE the vmapped row so the disorder
+        # realization is one more batch axis (make_floquet_gates is pure
+        # jnp, models/kicked_ising.py:72-97)
+        gates = make_floquet_gates(J, h_row, tau, theta=theta, dtype=dtype)
+        return one(key, gdt, psi0, gates)
+
+    keys = jax.random.split(jax.random.PRNGKey(traj_seed), G * R * T)
+    gdt_flat = jnp.asarray(np.repeat(gammas * dt, R * T), dtype)
+    tr = _chunked_vmap(one_disordered, (keys, gdt_flat, h_rows), chunk_size,
+                       mesh, axis_name)
+    sz = tr["sz_sites"].reshape(G, R * T, n_periods, L)
     signs = np.asarray(staggered_signs(L))
-    stag = (sz * signs).sum(axis=-1) / L                  # [G, T, n]
-    # sign-correct per trajectory, mean over trajectories, then normalize
-    # by the MEAN's first-period magnitude (per-trajectory normalization
-    # would amplify noisy small-denominator trajectories at large gamma)
-    env_traj = memory_envelope(stag, normalize=False)     # [G, T, n]
+    stag = (sz * signs).sum(axis=-1) / L                  # [G, R*T, n]
+    # sign-correct per sample, mean over the disorder x trajectory pool,
+    # then normalize by the MEAN's first-period magnitude (per-sample
+    # normalization would amplify noisy small-denominator samples at
+    # large gamma)
+    env_traj = memory_envelope(stag, normalize=False)     # [G, R*T, n]
     env_mean = env_traj.mean(axis=1)                      # [G, n]
     ref = np.abs(env_mean[:, :1])
     ref = np.where(ref > 1e-12, ref, 1.0)
@@ -241,20 +260,25 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
 
     out = {"gammas": gammas, "times": times, "envelope": envelope,
            "envelope_std": envelope_std, "tau_bit": tau_bit,
-           "eps": float(eps), "h_over_J": float(h_over_J), "L": int(L)}
+           "eps": float(eps), "h_over_J": float(h_over_J), "L": int(L),
+           "n_realizations": R}
 
     if coherence_leg:
         # bare-qubit anchor: same channel, NO drive (identity gates via
-        # J = h = 0, theta = 0), |+x> start, <sx> decay = e^{-2 gamma t}
+        # J = h = 0, theta = 0), |+x> start, <sx> decay = e^{-2 gamma t}.
+        # Disorder-free, so realizations add nothing -- pool R*T
+        # trajectories instead for the same per-gamma sample count as
+        # the bit leg.
+        Tc = R * T
         idle = KickedIsingModel(L, J=0.0, h_disorder=0.0, tau=tau,
                                 disorder_seed=disorder_seed, chi=chi,
                                 theta=0.0)
         psix = _x_plus_state(L, chi, dtype)
-        keys2 = jax.random.split(jax.random.PRNGKey(traj_seed + 1), G * T)
-        gdt2 = jnp.asarray(np.repeat(gammas * dt, T), dtype)
+        keys2 = jax.random.split(jax.random.PRNGKey(traj_seed + 1), G * Tc)
+        gdt2 = jnp.asarray(np.repeat(gammas * dt, Tc), dtype)
         tr2 = _chunked_vmap(lambda k, g: one(k, g, psix, idle.gates),
                             (keys2, gdt2), chunk_size, mesh, axis_name)
-        sx = tr2["sx_sites"].reshape(G, T, n_periods, L)
+        sx = tr2["sx_sites"].reshape(G, Tc, n_periods, L)
         sx_mean = sx.mean(axis=(1, 3))                    # [G, n]
         out["sx_coherence"] = sx_mean
         out["t2_qubit"] = np.array([fit_memory_lifetime(times, sx_mean[g])
@@ -268,7 +292,8 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
 def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
                        h_over_J: float = 0.3, J: float = 1.0,
                        tau: float = 1.0, n_periods: int = 100,
-                       n_trajectories: int = 32, chi: int = 48,
+                       n_trajectories: int = 32, n_realizations: int = 1,
+                       chi: int = 48,
                        disorder_seed: int = 42, traj_seed: int = 0,
                        mesh=None, axis_name: str = "batch",
                        chunk_size: int | None = None) -> Dict:
@@ -283,8 +308,9 @@ def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
 
     The kick angle is one more vmapped axis: gates are built INSIDE the
     vmapped row (make_floquet_gates is traceable in theta,
-    models/kicked_ising.py:72-97), so the whole (eps x trajectory) grid
-    shares one compiled program shape per chunk.
+    models/kicked_ising.py:72-97), so the whole
+    (eps x realization x trajectory) grid shares one compiled program
+    shape per chunk; envelope statistics pool disorder and channel noise.
 
     chi convergence (measured on the TPU, L=16, h/J=0.3, gamma=0.02,
     100 periods, 16 trajectories): tau_bit is converged at the default
@@ -308,28 +334,33 @@ def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
                                        make_floquet_gates)
 
     eps_values = np.asarray(eps_values, float)
-    E, T = int(eps_values.size), int(n_trajectories)
+    E = int(eps_values.size)
+    R = int(n_realizations)
+    T = int(n_trajectories)
     dt = 2.0 * tau
     dtype = jnp.float32
     tp = TruncParams(chi_max=0, svd_min=1e-7)
 
     if chunk_size is None:
         chunk_size = _auto_chunk(chi)
-    h_fields = jnp.asarray(
-        draw_disorder_reference(L, h_over_J * J, disorder_seed), dtype)
+    h_all = np.stack([draw_disorder_reference(L, h_over_J * J,
+                                              disorder_seed + r)
+                      for r in range(R)])                 # [R, L]
+    h_rows = jnp.asarray(np.tile(np.repeat(h_all, T, axis=0), (E, 1)), dtype)
     psi0 = create_initial_state(L, "neel", chi=chi, dtype=dtype)
     gdt = jnp.asarray(gamma * dt, dtype)
 
-    def one(key, theta):
-        gates = make_floquet_gates(J, h_fields, tau, theta=theta,
+    def one(key, theta, h_row):
+        gates = make_floquet_gates(J, h_row, tau, theta=theta,
                                    dtype=dtype)
         return _evolve_stochastic_scan(psi0, gates, key, gdt,
                                        int(n_periods), tp)[2]
 
-    keys = jax.random.split(jax.random.PRNGKey(traj_seed), E * T)
-    thetas = jnp.asarray(np.repeat(np.pi * (1.0 - eps_values), T), dtype)
-    tr = _chunked_vmap(one, (keys, thetas), chunk_size, mesh, axis_name)
-    sz = tr["sz_sites"].reshape(E, T, n_periods, L)
+    keys = jax.random.split(jax.random.PRNGKey(traj_seed), E * R * T)
+    thetas = jnp.asarray(np.repeat(np.pi * (1.0 - eps_values), R * T), dtype)
+    tr = _chunked_vmap(one, (keys, thetas, h_rows), chunk_size, mesh,
+                       axis_name)
+    sz = tr["sz_sites"].reshape(E, R * T, n_periods, L)
     signs = np.asarray(staggered_signs(L))
     stag = (sz * signs).sum(axis=-1) / L
     env_traj = memory_envelope(stag, normalize=False)
@@ -342,7 +373,8 @@ def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
                         for e in range(E)])
     return {"eps": eps_values, "times": times, "envelope": envelope,
             "envelope_std": env_traj.std(axis=1) / ref, "tau_bit": tau_bit,
-            "gamma": float(gamma), "h_over_J": float(h_over_J), "L": int(L)}
+            "gamma": float(gamma), "h_over_J": float(h_over_J), "L": int(L),
+            "n_realizations": R}
 
 
 def generate_memory_figure(params: Dict, out_dir: str = "figures",
@@ -371,6 +403,10 @@ def generate_memory_figure(params: Dict, out_dir: str = "figures",
     scan_kwargs.setdefault("tau", float(params.get("T_DRIVE", 2.0)) /
                            (2.0 * scan_kwargs["J"]))
     scan_kwargs.setdefault("disorder_seed", int(params.get("RANDOM_SEED", 42)))
+    # disorder-averaged defaults: 3 realizations x 12 trajectories pools
+    # 36 samples per point at the same device cost as 36 trajectories
+    scan_kwargs.setdefault("n_realizations", 3)
+    scan_kwargs.setdefault("n_trajectories", 12)
     res = scan_memory_lifetime(gammas, mesh=mesh, **scan_kwargs)
     res_eps = None
     if eps_values is not None:
@@ -397,7 +433,8 @@ def generate_memory_figure(params: Dict, out_dir: str = "figures",
     ax1.set_ylim(-0.05, 1.1)
     ax1.legend(fontsize=11)
     ax1.set_title(rf"DTC memory decay  ($L={res['L']}$, "
-                  rf"$h/J={res['h_over_J']}$, $\epsilon={res['eps']}$)",
+                  rf"$h/J={res['h_over_J']}$, $\epsilon={res['eps']}$, "
+                  rf"{res['n_realizations']} disorder real.)",
                   fontsize=15)
 
     finite = np.isfinite(res["tau_bit"]) & \
