@@ -180,6 +180,44 @@ class TestMemoryScan:
         np.testing.assert_allclose(sharded["envelope"], base["envelope"],
                                    atol=1e-12)
 
+    def test_checkpoint_kill_and_resume(self, tmp_path, monkeypatch):
+        """Interrupted memory sweeps resume at the first incomplete chunk
+        and reproduce the uncheckpointed run exactly; a resume with
+        different parameters refuses to mix misaligned chunks."""
+        from timecrystal_tpu.dynamics import open_system as osys
+        from timecrystal_tpu.utils.checkpoint import SweepCheckpointer
+
+        kw = dict(L=6, h_over_J=0.3, eps=0.05, n_periods=4, chi=8,
+                  n_trajectories=3, coherence_leg=False, chunk_size=2)
+        ref = scan_memory_lifetime([0.02, 0.08], **kw)   # 6 rows, 3 chunks
+
+        ckdir = str(tmp_path / "mem_ck")
+        calls = {"n": 0}
+        orig = osys._evolve_stochastic_scan
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise KeyboardInterrupt("simulated kill mid-sweep")
+            return orig(*a, **k)
+
+        monkeypatch.setattr(osys, "_evolve_stochastic_scan", counting)
+        try:
+            scan_memory_lifetime([0.02, 0.08], checkpoint_dir=ckdir, **kw)
+        except KeyboardInterrupt:
+            pass
+        assert calls["n"] == 2          # chunk 0 completed, chunk 1 killed
+
+        monkeypatch.setattr(osys, "_evolve_stochastic_scan", orig)
+        res = scan_memory_lifetime([0.02, 0.08], checkpoint_dir=ckdir, **kw)
+        assert SweepCheckpointer(
+            str(tmp_path / "mem_ck" / "bit")).completed_chunks() == {0, 1, 2}
+        np.testing.assert_allclose(res["envelope"], ref["envelope"],
+                                   atol=1e-12)
+        # misaligned resume (different gammas) must refuse
+        with pytest.raises(ValueError, match="different parameters"):
+            scan_memory_lifetime([0.03, 0.08], checkpoint_dir=ckdir, **kw)
+
     def test_figure_smoke(self, tmp_path):
         """generate_memory_figure renders and saves both files."""
         import matplotlib

@@ -95,7 +95,7 @@ def fit_memory_lifetime(times, envelope, floor: float = 0.05,
 
 
 def _chunked_vmap(row_fn, arrays, chunk_size: int, mesh=None,
-                  axis_name: str = "batch") -> Dict:
+                  axis_name: str = "batch", checkpointer=None) -> Dict:
     """jax.vmap(row_fn) over equal-leading-axis ``arrays``, in chunks of one
     shared padded program shape; returns the stacked host trace dict.
 
@@ -106,6 +106,11 @@ def _chunked_vmap(row_fn, arrays, chunk_size: int, mesh=None,
     own PRNG key / parameters), so chunked == single-program bit-exactly.
     Padded tail/mesh rows are duplicates of row 0, sliced off after the
     device fetch.  ``chunk_size=0`` forces one program.
+
+    ``checkpointer`` (a utils.checkpoint.SweepCheckpointer): per-chunk
+    persistence -- completed chunks load from disk, only the remainder
+    evolves (kill-and-resume for long production sweeps; same contract
+    as analysis.phase_diagram.sweep_phase_grid's chunked path).
     """
     import jax
     import jax.numpy as jnp
@@ -120,9 +125,14 @@ def _chunked_vmap(row_fn, arrays, chunk_size: int, mesh=None,
 
     B = int(arrays[0].shape[0])
     cs = int(chunk_size) if chunk_size else B
+    done = checkpointer.completed_chunks() if checkpointer is not None \
+        else set()
     parts = []
-    for lo in range(0, B, cs):
+    for ci, lo in enumerate(range(0, B, cs)):
         hi = min(lo + cs, B)
+        if ci in done:
+            parts.append(checkpointer.load_chunk(ci))
+            continue
         chunk = [a[lo:hi] for a in arrays]
         if hi - lo < cs:                 # ragged tail: pad so every chunk
             chunk = _pad(chunk, cs - (hi - lo))  # reuses one program
@@ -139,8 +149,38 @@ def _chunked_vmap(row_fn, arrays, chunk_size: int, mesh=None,
             from jax.experimental import multihost_utils
 
             tr = multihost_utils.process_allgather(tr, tiled=True)
-        parts.append({k: np.asarray(v)[:hi - lo] for k, v in tr.items()})
+        part = {k: np.asarray(v)[:hi - lo] for k, v in tr.items()}
+        if checkpointer is not None:
+            checkpointer.save_chunk(ci, part)
+        parts.append(part)
     return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+
+
+def _make_checkpointer(checkpoint_dir, fingerprint_src):
+    """SweepCheckpointer (or None) for a chunked memory sweep.
+
+    ``fingerprint_src``: everything that must MATCH for loaded chunks to
+    align with this run (axes, model params, chunking); a mismatched
+    resume raises instead of silently mixing misaligned chunks.
+    Multi-process runs are rejected for the same reason as
+    analysis.phase_diagram.sweep_phase_grid: ranks would race the same
+    chunk/manifest files."""
+    if checkpoint_dir is None:
+        return None
+    import hashlib
+
+    import jax
+
+    from ..utils.checkpoint import SweepCheckpointer
+
+    if jax.process_count() > 1:
+        raise ValueError(
+            "checkpoint_dir is not supported in a multi-process run: "
+            "every process would race the same chunk/manifest files.  Run "
+            "without checkpointing, or checkpoint per-slice single-process "
+            "sweeps.")
+    fp = hashlib.sha256(repr(fingerprint_src).encode()).hexdigest()
+    return SweepCheckpointer(checkpoint_dir, fingerprint=fp)
 
 
 def _x_plus_state(L: int, chi: int, dtype):
@@ -165,7 +205,8 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
                          disorder_seed: int = 42,
                          traj_seed: int = 0, coherence_leg: bool = True,
                          mesh=None, axis_name: str = "batch",
-                         chunk_size: int | None = None) -> Dict:
+                         chunk_size: int | None = None,
+                         checkpoint_dir: str | None = None) -> Dict:
     """Memory-lifetime sweep over dephasing rates, chunked device programs.
 
     Evolves ``len(gammas) * n_realizations * n_trajectories``
@@ -187,6 +228,11 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
     Default None = chi-aware auto (_auto_chunk: the fault boundary
     scales ~ rows * chi^2, so chi=96 needs ~4x smaller chunks than
     chi=48, measured).  Pass ``chunk_size=0`` to force one program.
+
+    ``checkpoint_dir``: per-chunk persistence (kill-and-resume for long
+    production sweeps; each leg checkpoints under its own subdirectory).
+    A resume with different parameters raises instead of mixing
+    misaligned chunks; rejected in multi-process runs.
 
     Returns a dict with:
       gammas [G]; times [n]
@@ -237,10 +283,17 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
         gates = make_floquet_gates(J, h_row, tau, theta=theta, dtype=dtype)
         return one(key, gdt, psi0, gates)
 
+    fp_src = ("memory_gamma", np.round(gammas, 12).tolist(), L,
+              round(h_over_J, 12), round(eps, 12), round(J, 12),
+              round(tau, 12), int(n_periods), R, T, chi, disorder_seed,
+              traj_seed, int(chunk_size))
     keys = jax.random.split(jax.random.PRNGKey(traj_seed), G * R * T)
     gdt_flat = jnp.asarray(np.repeat(gammas * dt, R * T), dtype)
+    ck = _make_checkpointer(
+        os.path.join(checkpoint_dir, "bit") if checkpoint_dir else None,
+        fp_src + ("bit",))
     tr = _chunked_vmap(one_disordered, (keys, gdt_flat, h_rows), chunk_size,
-                       mesh, axis_name)
+                       mesh, axis_name, checkpointer=ck)
     sz = tr["sz_sites"].reshape(G, R * T, n_periods, L)
     signs = np.asarray(staggered_signs(L))
     stag = (sz * signs).sum(axis=-1) / L                  # [G, R*T, n]
@@ -276,8 +329,12 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
         psix = _x_plus_state(L, chi, dtype)
         keys2 = jax.random.split(jax.random.PRNGKey(traj_seed + 1), G * Tc)
         gdt2 = jnp.asarray(np.repeat(gammas * dt, Tc), dtype)
+        ck2 = _make_checkpointer(
+            os.path.join(checkpoint_dir, "coherence") if checkpoint_dir
+            else None, fp_src + ("coherence",))
         tr2 = _chunked_vmap(lambda k, g: one(k, g, psix, idle.gates),
-                            (keys2, gdt2), chunk_size, mesh, axis_name)
+                            (keys2, gdt2), chunk_size, mesh, axis_name,
+                            checkpointer=ck2)
         sx = tr2["sx_sites"].reshape(G, Tc, n_periods, L)
         sx_mean = sx.mean(axis=(1, 3))                    # [G, n]
         out["sx_coherence"] = sx_mean
@@ -296,7 +353,8 @@ def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
                        chi: int = 48,
                        disorder_seed: int = 42, traj_seed: int = 0,
                        mesh=None, axis_name: str = "batch",
-                       chunk_size: int | None = None) -> Dict:
+                       chunk_size: int | None = None,
+                       checkpoint_dir: str | None = None) -> Dict:
     """Stored-bit lifetime vs pulse imperfection at fixed dephasing rate.
 
     The pulse error eps = 1 - theta/pi is the knob that opens the
@@ -358,8 +416,13 @@ def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
 
     keys = jax.random.split(jax.random.PRNGKey(traj_seed), E * R * T)
     thetas = jnp.asarray(np.repeat(np.pi * (1.0 - eps_values), R * T), dtype)
+    ck = _make_checkpointer(checkpoint_dir, (
+        "memory_eps", np.round(eps_values, 12).tolist(), round(gamma, 12),
+        L, round(h_over_J, 12), round(J, 12), round(tau, 12),
+        int(n_periods), R, T, chi, disorder_seed, traj_seed,
+        int(chunk_size)))
     tr = _chunked_vmap(one, (keys, thetas, h_rows), chunk_size, mesh,
-                       axis_name)
+                       axis_name, checkpointer=ck)
     sz = tr["sz_sites"].reshape(E, R * T, n_periods, L)
     signs = np.asarray(staggered_signs(L))
     stag = (sz * signs).sum(axis=-1) / L
