@@ -189,13 +189,23 @@ def _resolve_svd_method(spec: SweepSpec, R: int) -> SweepSpec:
     traced under vmap (the leading R axis is invisible to it), so large
     sweeps of small-chi points would route to the Jacobi kernel whose VPU
     time grows linearly with the batch.  Resolve here instead: jacobi for
-    n = 2*chi >= 256 (wins at any batch) or genuinely small total batches,
-    the amortized batched gram_eigh otherwise."""
+    n = 2*chi >= 96 or genuinely small total batches, the amortized
+    batched gram_eigh otherwise (the phase grid's n=64 sweet spot).
+
+    The n >= 96 jacobi routing is a WORKER-FAULT guard, not (only) a
+    speed call: batched gram_eigh at n=96 kernel-faults the axon worker
+    at modest batches (R=40 x 15 bonds at chi_pad=48 faults reliably,
+    R=8 runs; measured 2026-08-20 -- the same program ran in an earlier
+    session, so the boundary is worker-version-dependent), while the
+    Jacobi kernel at the same shapes runs at its documented
+    rows*chi^2 ~ 92k envelope (utils.backend.auto_chunk_rows).  n=64
+    gram_eigh batches up to 1800 matrices are measured-good (the
+    120-point phase grid)."""
     if spec.tp.svd_method != "auto" or jax.default_backend() == "cpu":
         return spec
     n = 2 * spec.chi
     total = R * max(spec.L - 1, 1)
-    method = "jacobi" if (n >= 256 or (total <= 64 and n >= 32)) \
+    method = "jacobi" if (n >= 96 or (total <= 64 and n >= 32)) \
         else "gram_eigh"
     return spec._replace(tp=spec.tp._replace(svd_method=method))
 
