@@ -29,13 +29,18 @@ def _model(L, chi=16, theta=0.95 * np.pi, seed=42):
 
 
 def _timed_periods(m, psi0, n_periods):
-    # warm the compile cache, then measure
+    # warm the compile cache, then measure best-of-3 (single-shot ms-scale
+    # timings flake under host load: a 16 ms t5 vs a scheduler-delayed
+    # t20 once tripped the 8x linear-scaling bound in a loaded runner)
     _, tr = evolve_floquet_scan(psi0, m.gates, n_periods, TP)
     jax.block_until_ready(tr["loschmidt_echo"])
-    t0 = time.time()
-    _, tr = evolve_floquet_scan(psi0, m.gates, n_periods, TP)
-    jax.block_until_ready(tr["loschmidt_echo"])
-    return time.time() - t0
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        _, tr = evolve_floquet_scan(psi0, m.gates, n_periods, TP)
+        jax.block_until_ready(tr["loschmidt_echo"])
+        best = min(best, time.time() - t0)
+    return best
 
 
 class TestPerformance:
