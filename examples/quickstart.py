@@ -71,12 +71,13 @@ def ensemble() -> None:
     taus = jnp.full((R,), 1.0)
     basis = jnp.asarray(_basis_indices(L, "neel"))
     # cap_svd_method: once the chi ladder is pinned at the cap (escalation
-    # over), chunks route to the ~2x-faster chained projected SVD -- the
-    # saturated-steady-state production knob (PERFORMANCE.md round-3;
-    # trunc_err traces of cap chunks carry its measurement noise floor).
-    # TPU-only here: on the CPU fallback the Pallas kernel runs in slow
-    # interpret mode, so plain LAPACK is the right cap path there.
-    cap_method = "jacobi_proj" if jax.default_backend() != "cpu" else None
+    # over), chunks route to the core-matrix projected SVD -- the adopted
+    # saturated-steady-state production knob (~5x the full kernel,
+    # PERFORMANCE.md round-3; trunc_err traces of cap chunks carry its
+    # measurement noise floor).  TPU-only here: on the CPU fallback the
+    # Pallas kernel runs in slow interpret mode, so plain LAPACK is the
+    # right cap path there.
+    cap_method = "jacobi_core" if jax.default_backend() != "cpu" else None
     traces, info = evolve_batch_auto(h, taus, basis, spec, chi_start=16,
                                      chunk_periods=10,
                                      cap_svd_method=cap_method)

@@ -483,14 +483,14 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
 
     ``cap_svd_method``: optional svd_method override for chunks that run
     AT the ladder cap (chi == chi_limit), where truncation error no longer
-    drives escalation decisions.  'jacobi_proj' (the chained projected
-    top-chi SVD, ops/pallas/jacobi_svd.jacobi_proj) is the measured ~2x
-    saturated-steady-state throughput win (PERFORMANCE.md round-3); its
-    accuracy class is truncation-level (closed-loop staggered/LE deltas
-    5.5e-4/3.2e-4 over 50 periods at L=40 chi=256) and its reported
-    trunc_err carries the f32 Frobenius noise floor (~3e-4/period), so
-    cap-stage trunc_err traces are measurement-noisy -- leave None for
-    parity-grade runs.
+    drives escalation decisions.  'jacobi_core' (the core-matrix projected
+    SVD, ops/pallas/jacobi_svd.jacobi_core) is the adopted
+    saturated-steady-state path: ~5x the full kernel's throughput with a
+    BETTER kept-weight class than the earlier 'jacobi_proj' (closed-loop
+    staggered/LE deltas 7.9e-4/3.0e-4 over 50 periods at L=40 chi=256,
+    PERFORMANCE.md round-3).  Projected-path trunc_err carries the f32
+    Frobenius noise floor (~3e-4/period), so cap-stage trunc_err traces
+    are measurement-noisy -- leave None for parity-grade runs.
 
     ``model_kwargs`` are KickedIsingModel arguments (without chi).
     Returns (traces, times, info, model); info gains 'chi_pad_used',

@@ -300,8 +300,9 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     ``cap_svd_method``: optional svd_method override for chunks running AT
     the ladder cap (chi == spec.chi), where truncation error no longer
     drives escalation -- see dynamics/tebd.evolve_floquet_auto for the
-    accuracy/trunc_err-noise tradeoff ('jacobi_proj' is the measured ~2x
-    saturated-steady-state win, PERFORMANCE.md round-3).
+    accuracy/trunc_err-noise tradeoff ('jacobi_core' is the adopted
+    saturated-steady-state path: ~5x the full kernel's throughput AND a
+    better kept-weight class than 'jacobi_proj', PERFORMANCE.md round-3).
 
     ``mesh``: when set, the realization axis shards over the device mesh
     (same SPMD structure as evolve_batch_sharded: each device evolves its
