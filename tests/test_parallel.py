@@ -520,3 +520,30 @@ class TestDriveStrengthAxis:
         assert _resolve_svd_method(full, 4) == full
         if jax.default_backend() == "cpu":
             assert full.tp.svd_method == "auto"   # resolution is TPU-only
+
+    def test_auto_rule_entangling_routes_jacobi(self, monkeypatch):
+        """The TPU auto rule keeps gram_eigh ONLY for the exact-pi
+        (rank-1) phase-grid class: entangling sweeps (thetas axis or
+        spec.theta != pi) and n >= 96 route to jacobi -- the worker's
+        batched-eigh fault on rank-dense data is data-dependent
+        (baselines/gram_eigh_fault_probe.py)."""
+        import timecrystal_tpu.parallel.sweep as sw
+        from timecrystal_tpu.core.truncate import TruncParams
+        from timecrystal_tpu.parallel.sweep import (SweepSpec,
+                                                    _resolve_svd_method)
+
+        monkeypatch.setattr(sw.jax, "default_backend", lambda: "tpu")
+        tp = TruncParams(chi_max=24, svd_min=1e-12)
+        spec = SweepSpec(L=16, chi=32, n_periods=80, J=1.0,
+                         theta=float(np.pi), tp=tp)
+        # reference phase-grid class: exact pi, n=64, large batch -> gram
+        assert _resolve_svd_method(spec, 120).tp.svd_method == "gram_eigh"
+        # per-realization thetas axis (drive grid) -> jacobi
+        assert _resolve_svd_method(spec, 120, entangling=True) \
+            .tp.svd_method == "jacobi"
+        # static imperfect pulse -> jacobi
+        spec2 = spec._replace(theta=0.9 * float(np.pi))
+        assert _resolve_svd_method(spec2, 120).tp.svd_method == "jacobi"
+        # n >= 96 -> jacobi at any batch even at exact pi
+        spec3 = spec._replace(chi=48)
+        assert _resolve_svd_method(spec3, 120).tp.svd_method == "jacobi"

@@ -201,8 +201,10 @@ def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
     taus = jnp.full((len(eps_f),), tau)
     thetas = jnp.asarray(np.pi * (1.0 - eps_f))
     # full-grid svd_method resolution (same reasoning as sweep_phase_grid:
-    # chunking must not change which SVD kernel runs)
-    spec = _resolve_svd_method(spec, len(eps_f))
+    # chunking must not change which SVD kernel runs); entangling=True --
+    # the eps axis drives theta != pi, so the worker's data-dependent
+    # gram_eigh fault class applies (see _resolve_svd_method)
+    spec = _resolve_svd_method(spec, len(eps_f), entangling=True)
     basis = _basis_indices(L, "neel")
 
     if mesh == "auto":

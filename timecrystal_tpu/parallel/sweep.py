@@ -171,7 +171,8 @@ def evolve_batch(h_fields: jax.Array, taus: jax.Array, basis_indices: jax.Array,
 
     Returns a dict of stacked traces with leading batch axis [R, ...].
     """
-    spec = _resolve_svd_method(spec, h_fields.shape[0])
+    spec = _resolve_svd_method(spec, h_fields.shape[0],
+                               entangling=thetas is not None)
     if thetas is None:
         return jax.vmap(lambda h, t: _traces_one(h, t, basis_indices, spec,
                                                  correlation_site,
@@ -182,31 +183,43 @@ def evolve_batch(h_fields: jax.Array, taus: jax.Array, basis_indices: jax.Array,
         theta=th))(h_fields, taus, thetas)
 
 
-def _resolve_svd_method(spec: SweepSpec, R: int) -> SweepSpec:
+def _resolve_svd_method(spec: SweepSpec, R: int,
+                        entangling: bool | None = None) -> SweepSpec:
     """Resolve svd_method='auto' with the VMAP batch size in view.
 
     csvd_topk's own 'auto' rule sees only the per-realization shape when
     traced under vmap (the leading R axis is invisible to it), so large
     sweeps of small-chi points would route to the Jacobi kernel whose VPU
-    time grows linearly with the batch.  Resolve here instead: jacobi for
-    n = 2*chi >= 96 or genuinely small total batches, the amortized
-    batched gram_eigh otherwise (the phase grid's n=64 sweet spot).
+    time grows linearly with the batch.  Resolve here instead: the
+    amortized batched gram_eigh ONLY for the reference phase-grid class
+    (exact-pi kicks, whose dynamics stays rank-1); jacobi everywhere
+    else.
 
-    The n >= 96 jacobi routing is a WORKER-FAULT guard, not (only) a
-    speed call: batched gram_eigh at n=96 kernel-faults the axon worker
-    at modest batches (R=40 x 15 bonds at chi_pad=48 faults reliably,
-    R=8 runs; measured 2026-08-20 -- the same program ran in an earlier
-    session, so the boundary is worker-version-dependent), while the
-    Jacobi kernel at the same shapes runs at its documented
-    rows*chi^2 ~ 92k envelope (utils.backend.auto_chunk_rows).  n=64
-    gram_eigh batches up to 1800 matrices are measured-good (the
-    120-point phase grid)."""
+    The routing is a WORKER-FAULT guard, not (only) a speed call
+    (measured 2026-08-20, baselines/gram_eigh_fault_probe.py): batched
+    gram_eigh on ENTANGLING panels kernel-faults the axon worker from
+    ~300 matrices per program (20 rows x 15 bonds at n=96; 1800
+    rank-DENSE matrices at n=64 also fault) -- while the SAME 1800-matrix
+    n=64 program on the exact-pi phase grid's rank-1 data ran twice the
+    same day, so the worker's eigh fault is data-dependent.  The same
+    drive-grid program also ran in a round-3 session: the boundary is
+    worker-version-dependent; re-map it with the probe after worker
+    updates.  The Jacobi kernel runs at its documented rows*chi^2 ~ 92k
+    envelope (utils.backend.auto_chunk_rows) regardless of data.
+
+    ``entangling``: True when the sweep's dynamics genuinely fills rank
+    (a per-realization thetas axis, or spec.theta != pi).  Default None
+    derives it from spec.theta alone."""
     if spec.tp.svd_method != "auto" or jax.default_backend() == "cpu":
         return spec
+    if entangling is None:
+        entangling = float(spec.theta) != float(np.pi)
+    else:
+        entangling = entangling or float(spec.theta) != float(np.pi)
     n = 2 * spec.chi
     total = R * max(spec.L - 1, 1)
-    method = "jacobi" if (n >= 96 or (total <= 64 and n >= 32)) \
-        else "gram_eigh"
+    method = "jacobi" if (entangling or n >= 96
+                          or (total <= 64 and n >= 32)) else "gram_eigh"
     return spec._replace(tp=spec.tp._replace(svd_method=method))
 
 
