@@ -112,6 +112,27 @@ class TestMemoryScan:
             scan_memory_lifetime([0.02], L=6, n_periods=2, chi=8,
                                  n_trajectories=2, chunk_size=-1)
 
+    def test_empty_gammas_raises(self):
+        """An empty sweep axis raises a named ValueError instead of the
+        opaque IndexError the chunk loop used to hit (ADVICE round 4)."""
+        with pytest.raises(ValueError, match="empty batch"):
+            scan_memory_lifetime([], L=6, n_periods=2, chi=8,
+                                 n_trajectories=2)
+
+    def test_auto_chunk_scales_with_bond_count(self):
+        """The worker-fault envelope was calibrated at L=16 (15 bonds);
+        longer chains must get proportionally smaller default chunks
+        (ADVICE round 4: an L=40 chi=48 scan previously reused the L=16
+        chunk size, ~2.6x the measured fault envelope)."""
+        from timecrystal_tpu.utils.backend import auto_chunk_rows
+
+        base = auto_chunk_rows(48)                     # L=16 calibration
+        assert base == auto_chunk_rows(48, n_bonds=15)
+        long = auto_chunk_rows(48, n_bonds=39)         # L=40
+        assert long <= int(base * 15 / 39) + 1
+        # shorter chains do NOT scale up past the proven-safe calibration
+        assert auto_chunk_rows(48, n_bonds=5) == base
+
     def test_eps_axis_opens_the_channel(self):
         """tau_bit(eps) at fixed gamma: larger pulse error, shorter stored-
         bit lifetime (the channel's path into the bit opens with eps)."""

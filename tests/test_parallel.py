@@ -166,6 +166,46 @@ class TestBatchedEvolution:
         for key in ("sz_sites", "loschmidt_echo", "staggered_magnetization"):
             np.testing.assert_allclose(tr[key], ref[key], atol=1e-8)
 
+    def test_batch_auto_projected_svd_guarded_below_cap(self):
+        """spec.tp.svd_method='jacobi_core' on the batched staged driver:
+        below-cap chunks override to the bit-faithful kernel (the module
+        hook sees ONLY cap-chi calls) and the chi schedule matches the
+        default run -- the projected path's noise-floor trunc_err can no
+        longer poison escalation (round-4 VERDICT weak #2, batched leg)."""
+        from timecrystal_tpu.ops.pallas import jacobi_svd as jsvd_mod
+        from timecrystal_tpu.parallel.sweep import evolve_batch_auto
+
+        spec = _spec(L=6, chi=8, n=8, theta=0.85 * float(np.pi))
+        rng = np.random.default_rng(5)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (2, spec.L)))
+        taus = jnp.asarray([1.1, 1.2])
+        basis = jnp.asarray(_basis_indices(spec.L, "neel"))
+        ref, info_ref = evolve_batch_auto(hf, taus, basis, spec,
+                                          chi_start=4, chunk_periods=2)
+        assert info_ref["chi_pad_used"] == 8
+
+        calls: list = []
+        orig = jsvd_mod.jacobi_core
+
+        def counting(theta, k, **kw):
+            calls.append(int(k))
+            return orig(theta, k, **kw)
+
+        jsvd_mod.jacobi_core = counting
+        jax.clear_caches()
+        try:
+            spec_p = spec._replace(
+                tp=spec.tp._replace(svd_method="jacobi_core"))
+            tr, info = evolve_batch_auto(hf, taus, basis, spec_p,
+                                         chi_start=4, chunk_periods=2)
+        finally:
+            jsvd_mod.jacobi_core = orig
+        assert info["chi_escalations"] == info_ref["chi_escalations"]
+        assert info["chi_pad_used"] == 8
+        assert calls and all(k == 8 for k in calls)
+        for key in ("sz_sites", "loschmidt_echo", "staggered_magnetization"):
+            np.testing.assert_allclose(tr[key], ref[key], atol=1e-8)
+
     def test_disorder_ensemble_shapes(self):
         spec = _spec(n=3)
         tr = disorder_ensemble(jax.random.PRNGKey(5), 6, spec,

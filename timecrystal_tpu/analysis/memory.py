@@ -117,6 +117,12 @@ def _chunked_vmap(row_fn, arrays, chunk_size: int, mesh=None,
 
     if int(chunk_size) < 0:
         raise ValueError(f"chunk_size must be >= 0, got {chunk_size}")
+    if int(arrays[0].shape[0]) == 0:
+        # an empty axis would otherwise surface as an opaque IndexError on
+        # parts[0] after the (empty) chunk loop
+        raise ValueError("empty batch: the leading axis of the sweep arrays "
+                         "(gammas/eps_values x realizations x trajectories) "
+                         "has zero rows")
 
     def _pad(chunk, n):
         return [jnp.concatenate([c, jnp.tile(c[:1], (n,) + (1,) *
@@ -191,7 +197,10 @@ def _x_plus_state(L: int, chi: int, dtype):
     from ..core.mps import MPS
     from ..ops.cpx import C
 
-    amp = 1.0 / np.sqrt(2.0)
+    # python float (weak-typed), not np.float64: a strong-typed f64 scalar
+    # scattered into the f32 tensor trips JAX's dtype-promotion
+    # FutureWarning (and a future error) in jax._src.ops.scatter
+    amp = float(1.0 / np.sqrt(2.0))
     B_re = jnp.zeros((L, chi, 2, chi), dtype=dtype)
     B_re = B_re.at[:, 0, 0, 0].set(amp).at[:, 0, 1, 0].set(amp)
     lam = jnp.zeros((L + 1, chi), dtype=dtype).at[:, 0].set(1.0)
@@ -270,7 +279,7 @@ def scan_memory_lifetime(gammas, L: int = 16, h_over_J: float = 0.3,
     psi0 = create_initial_state(L, "neel", chi=chi, dtype=dtype)
 
     if chunk_size is None:
-        chunk_size = _auto_chunk(chi)
+        chunk_size = _auto_chunk(chi, n_bonds=L - 1)
 
     def one(key, gdt, psi, gates):
         return _evolve_stochastic_scan(psi, gates, key, gdt, int(n_periods),
@@ -400,7 +409,7 @@ def scan_memory_vs_eps(eps_values, gamma: float, L: int = 16,
     tp = TruncParams(chi_max=0, svd_min=1e-7)
 
     if chunk_size is None:
-        chunk_size = _auto_chunk(chi)
+        chunk_size = _auto_chunk(chi, n_bonds=L - 1)
     h_all = np.stack([draw_disorder_reference(L, h_over_J * J,
                                               disorder_seed + r)
                       for r in range(R)])                 # [R, L]

@@ -220,7 +220,7 @@ def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
 
     if chunk_size is None:
         from ..utils.backend import auto_chunk_rows
-        chunk_size = auto_chunk_rows(chi_pad)
+        chunk_size = auto_chunk_rows(chi_pad, n_bonds=L - 1)
     B = len(eps_f)
     if int(chunk_size) < 0:
         raise ValueError(f"chunk_size must be >= 0, got {chunk_size}")
@@ -282,7 +282,8 @@ def generate_drive_diagram(params: Dict, mesh=None, out_dir: str = "figures",
 
     eps_values = np.linspace(*eps_range, n_eps)
     h_values = np.linspace(*h_range, n_h)
-    chunk_size = auto_chunk_rows(48)     # sweep_drive_grid default chi_pad
+    # sweep_drive_grid defaults: chi_pad=48, L=16 (GRID_HARDCODED)
+    chunk_size = auto_chunk_rows(48, n_bonds=GRID_HARDCODED["n_sites"] - 1)
     n_programs = -(-(n_eps * n_h) // chunk_size)
     print(f"Computing {n_eps * n_h} drive-strength points "
           f"({n_programs} batched device program"

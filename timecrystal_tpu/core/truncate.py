@@ -44,6 +44,15 @@ from ..ops.csvd import csvd_topk
 from .mps import MPS
 
 
+# Saturated-steady-state SVD fast paths whose reported trunc_err carries
+# the projection leak + f32 Frobenius noise floor (~3e-4/period) rather
+# than the true discarded weight.  Chi-escalation decisions must never
+# read error off these methods (see TruncParams.svd_method note below);
+# the staged drivers route them only at the ladder cap.
+PROJECTED_SVD_METHODS = frozenset(
+    {"jacobi_proj", "jacobi_core", "jacobi_core_fast"})
+
+
 class TruncParams(NamedTuple):
     chi_max: int = 0          # 0 => no chi cap beyond the padded chi
     svd_min: float = 1e-12

@@ -27,7 +27,8 @@ import numpy as np
 from ..core import gates as G
 from ..core.mps import (MPS, bond_dimensions, entanglement_entropy,
                         expectation_one_site, max_bond_dimension, overlap)
-from ..core.truncate import TruncParams, apply_bond_gates
+from ..core.truncate import (PROJECTED_SVD_METHODS, TruncParams,
+                             apply_bond_gates)
 from ..models.kicked_ising import FloquetGates, floquet_period
 from ..ops import cpx
 from ..ops.cpx import C
@@ -607,8 +608,19 @@ def evolve_floquet_auto(model_kwargs: dict, state_type: str, n_periods: int,
         n = min(chunk_periods, n_periods - p_done)
         # at the ladder cap escalation is over (chi < cap gates both
         # triggers), so the noisy-trunc_err fast path is safe to route
-        tp_stage = (tp._replace(svd_method=cap_svd_method)
-                    if cap_svd_method and chi >= cap else tp)
+        if cap_svd_method and chi >= cap:
+            tp_stage = tp._replace(svd_method=cap_svd_method)
+        elif chi < cap and tp.svd_method in PROJECTED_SVD_METHODS:
+            # BELOW the cap the escalation criteria read trunc_err off the
+            # SVD output; projected methods report the f32 Frobenius noise
+            # floor (~3e-4/period) instead of true discarded weight, which
+            # sits above _stage_err_tol and would poison every decision
+            # (the exact misuse core/truncate.py:52-57 warns about, now
+            # overridden here instead of silently permitted).  Projected
+            # paths are reachable only via cap_svd_method / an at-cap tp.
+            tp_stage = tp._replace(svd_method="jacobi")
+        else:
+            tp_stage = tp
         # LE referenced to the t=0 state, not the chunk start
         psi_next, tr = evolve_floquet_scan(psi, model.gates, n, tp_stage,
                                            ref_state=psi0, frame=frame)

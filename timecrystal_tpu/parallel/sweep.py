@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..core import gates as G
 from ..core.mps import (entanglement_entropy, expectation_one_site,
                         max_bond_dimension, overlap, product_state)
-from ..core.truncate import TruncParams
+from ..core.truncate import PROJECTED_SVD_METHODS, TruncParams
 from ..models.kicked_ising import make_floquet_gates
 from ..ops import cpx
 
@@ -209,13 +209,19 @@ def _resolve_svd_method(spec: SweepSpec, R: int,
 
     ``entangling``: True when the sweep's dynamics genuinely fills rank
     (a per-realization thetas axis, or spec.theta != pi).  Default None
-    derives it from spec.theta alone."""
+    derives it from spec.theta alone.  The exact-pi test is a small-
+    tolerance comparison (rel 1e-6), not exact equality: a float32-rounded
+    pi (float(np.float32(np.pi)) differs from math.pi at 1e-8) is still
+    the rank-1 class, and misclassifying it as entangling would silently
+    drop the amortized gram_eigh fast path for a genuinely exact-pi
+    sweep.  1e-6 sits far below any physical pulse imperfection (the
+    drive-strength axis starts at eps ~ 1e-2) and far above f32 rounding."""
+    import math
+
     if spec.tp.svd_method != "auto" or jax.default_backend() == "cpu":
         return spec
-    if entangling is None:
-        entangling = float(spec.theta) != float(np.pi)
-    else:
-        entangling = entangling or float(spec.theta) != float(np.pi)
+    off_pi = not math.isclose(float(spec.theta), math.pi, rel_tol=1e-6)
+    entangling = off_pi if entangling is None else (entangling or off_pi)
     n = 2 * spec.chi
     total = R * max(spec.L - 1, 1)
     method = "jacobi" if (entangling or n >= 96
@@ -479,6 +485,12 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
             tp = spec.tp._replace(svd_method=cap_svd_method)
         else:
             tp = _stage_tp(spec.tp, chi)
+            if chi < cap and tp.svd_method in PROJECTED_SVD_METHODS:
+                # same guard as dynamics/tebd.evolve_floquet_auto: below
+                # the cap escalation reads trunc_err, which projected
+                # methods report at the f32 noise floor -- override to the
+                # bit-faithful kernel; only cap_svd_method routes projected
+                tp = tp._replace(svd_method="jacobi")
         psi_next, tr = _chunk_batch(psi, gates, psi0, n, tp, spec.frame)
         tr, exit_lam = fetch((tr, psi_next.lam))
         # trunc-err / significant-rank escalation criteria (the batch

@@ -56,7 +56,7 @@ def ensure_responsive_backend(warn: bool = True) -> bool:
     return True
 
 
-def auto_chunk_rows(chi: int) -> int:
+def auto_chunk_rows(chi: int, n_bonds: int = 15) -> int:
     """Default rows-per-device-program under the axon worker's
     program-size limit.
 
@@ -69,5 +69,13 @@ def auto_chunk_rows(chi: int) -> int:
     results (rows are position-independent; chunked == single-program
     bit-exactly, tested), so the only cost of a conservative default is
     dispatch overhead.
+
+    ``n_bonds``: per-row VMEM also scales with the chain's bond count;
+    the ~92k envelope was calibrated at L=16 (15 bonds).  Callers with a
+    user-set L pass ``L - 1`` so e.g. an L=40 chi=48 memory scan gets
+    ~2.6x smaller chunks than the calibration chain instead of silently
+    re-entering the measured fault region.  Shorter chains are NOT scaled
+    up (the calibration point is the proven-safe maximum per row).
     """
-    return max(4, (92_160 // max(int(chi) * int(chi), 1)))
+    scale = max(float(n_bonds) / 15.0, 1.0)
+    return max(4, int(92_160 // max(scale * chi * chi, 1.0)))
