@@ -118,6 +118,22 @@ def _compute_all(mh=None):
                               jnp.asarray(basis), spec)
     out = {k: np.asarray(v) for k, v in traces.items()}
 
+    # drive-strength (per-realization thetas) leg: the axis threads
+    # through the multi-process path (round-4 VERDICT seam #3a)
+    import jax.numpy as jnp
+
+    thetas = np.pi * (1.0 - np.linspace(0.0, 0.1, len(taus)))
+    if mh is not None:
+        th_tr = mh.evolve_batch_multihost(h_fields, taus, basis, spec,
+                                          thetas=thetas)
+    else:
+        th_tr = evolve_batch(jnp.asarray(h_fields), jnp.asarray(taus),
+                             jnp.asarray(basis), spec,
+                             thetas=jnp.asarray(thetas))
+    out.update({f"thetas_{k}": np.asarray(th_tr[k])
+                for k in ("sz_sites", "staggered_magnetization",
+                          "loschmidt_echo", "trunc_err")})
+
     # chi-staged production driver (escalation decisions allgathered on a
     # cluster; plain device_get single-process)
     staged, info = evolve_batch_auto(h_fields, taus, basis, spec,

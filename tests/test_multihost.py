@@ -48,6 +48,24 @@ class TestSingleProcess:
             assert got[k].shape == ref[k].shape, k
             np.testing.assert_allclose(got[k], ref[k], atol=1e-12, err_msg=k)
 
+    def test_thetas_matches_unsharded(self):
+        """Per-realization thetas (drive-strength axis) through the
+        multihost path == plain evolve_batch with the same thetas
+        (round-4 VERDICT seam: previously NotImplementedError)."""
+        import jax.numpy as jnp
+
+        h_fields, taus, basis, spec = make_problem()
+        thetas = np.pi * (1.0 - np.linspace(0.0, 0.1, len(taus)))
+        ref = evolve_batch(jnp.asarray(h_fields), jnp.asarray(taus),
+                           jnp.asarray(basis), spec,
+                           thetas=jnp.asarray(thetas))
+        got = mh.evolve_batch_multihost(h_fields, taus, basis, spec,
+                                        mesh=mh.global_mesh(),
+                                        thetas=thetas)
+        for k in _TRACE_KEYS:
+            np.testing.assert_allclose(got[k], np.asarray(ref[k]),
+                                       atol=1e-12, err_msg=k)
+
     def test_initialize_noop_single_process(self):
         """initialize() must be callable repeatedly once a client exists
         (shared entry points call it unconditionally)."""
@@ -110,6 +128,10 @@ class TestTwoProcessCluster:
         # memory-channel leg (analysis/memory over the global mesh)
         np.testing.assert_allclose(r0["memory_envelope"],
                                    ref["memory_envelope"], atol=1e-12)
+        # drive-strength leg: per-realization thetas across the cluster
+        for k in ("thetas_sz_sites", "thetas_staggered_magnetization",
+                  "thetas_loschmidt_echo", "thetas_trunc_err"):
+            np.testing.assert_allclose(r0[k], ref[k], atol=1e-12, err_msg=k)
 
     def test_checkpoint_rejected_multiprocess(self):
         """The staged driver must REFUSE checkpoint_dir on a multi-process

@@ -86,6 +86,73 @@ class TestBatchedEvolution:
         for k in ("sz_sites", "loschmidt_echo", "staggered_magnetization"):
             np.testing.assert_allclose(tr[k], np.asarray(ref[k]), atol=1e-9)
 
+    def test_batch_auto_correlation_site_matches_fixed_chi(self):
+        """correlation_site on the chi-staged path (round-4 VERDICT seam
+        #3b: previously NotImplementedError): zz_corr joins the chunk
+        trace contract, staged == fixed-chi including across an
+        escalation, and the staged checkpoint layout round-trips the key
+        (kill after the first chunk, resume, identical traces)."""
+        from timecrystal_tpu.parallel.sweep import evolve_batch_auto
+
+        spec = _spec(L=10, chi=32, n=10, theta=0.9 * float(np.pi))
+        rng = np.random.default_rng(3)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (3, spec.L)))
+        taus = jnp.asarray(rng.uniform(0.9, 1.2, 3))
+        basis = jnp.asarray(_basis_indices(spec.L, "neel"))
+        site = 4
+        ref = evolve_batch(hf, taus, basis, spec, correlation_site=site)
+        tr, info = evolve_batch_auto(hf, taus, basis, spec, chi_start=4,
+                                     chunk_periods=3, correlation_site=site)
+        assert info["chi_pad_used"] > 4          # staging exercised
+        assert tr["zz_corr"].shape == (3, spec.n_periods + 1, spec.L)
+        np.testing.assert_allclose(tr["zz_corr"], np.asarray(ref["zz_corr"]),
+                                   atol=1e-9)
+        for k in ("sz_sites", "loschmidt_echo", "staggered_magnetization"):
+            np.testing.assert_allclose(tr[k], np.asarray(ref[k]), atol=1e-9)
+
+    def test_batch_auto_correlation_site_checkpoint_resume(self, tmp_path):
+        """zz_corr survives the staged checkpoint layout: a run killed
+        after its first completed chunk resumes to traces identical to a
+        straight-through run."""
+        from timecrystal_tpu.parallel.sweep import evolve_batch_auto
+        from timecrystal_tpu.utils import checkpoint as ck_mod
+
+        spec = _spec(L=8, chi=16, n=6, theta=0.9 * float(np.pi))
+        rng = np.random.default_rng(7)
+        hf = jnp.asarray(rng.uniform(-0.3, 0.3, (2, spec.L)))
+        taus = jnp.asarray([1.0, 1.1])
+        basis = jnp.asarray(_basis_indices(spec.L, "neel"))
+        site = 3
+        straight, _ = evolve_batch_auto(hf, taus, basis, spec, chi_start=4,
+                                        chunk_periods=2,
+                                        correlation_site=site)
+        ckdir = str(tmp_path / "ck")
+        orig = ck_mod.save_state
+        calls = []
+
+        def dying_save(*a, **kw):
+            out = orig(*a, **kw)
+            calls.append(1)
+            if len(calls) == 1:
+                raise KeyboardInterrupt("injected kill after first chunk")
+            return out
+
+        ck_mod.save_state = dying_save
+        try:
+            with np.testing.assert_raises(KeyboardInterrupt):
+                evolve_batch_auto(hf, taus, basis, spec, chi_start=4,
+                                  chunk_periods=2, correlation_site=site,
+                                  checkpoint_dir=ckdir)
+        finally:
+            ck_mod.save_state = orig
+        resumed, _ = evolve_batch_auto(hf, taus, basis, spec, chi_start=4,
+                                       chunk_periods=2,
+                                       correlation_site=site,
+                                       checkpoint_dir=ckdir)
+        for k in ("zz_corr", "sz_sites", "loschmidt_echo"):
+            np.testing.assert_allclose(resumed[k], straight[k], atol=1e-12,
+                                       err_msg=k)
+
     def test_batch_auto_sharded_matches_unsharded(self):
         """Chi-staged ensemble over the 8-device mesh == unsharded staged
         run (SPMD partitioning and mesh padding are numerically no-ops);

@@ -116,7 +116,8 @@ def evolve_batch_multihost(h_fields, taus, basis_indices, spec: SweepSpec,
                            mesh: Mesh | None = None,
                            axis_name: str = "batch",
                            correlation_site: int | None = None,
-                           two_time_anchor: int | None = None):
+                           two_time_anchor: int | None = None,
+                           thetas=None):
     """Fixed-chi batched Floquet evolution sharded over the GLOBAL mesh.
 
     The multi-host analog of ``parallel.sweep.evolve_batch_sharded``: same
@@ -128,6 +129,10 @@ def evolve_batch_multihost(h_fields, taus, basis_indices, spec: SweepSpec,
 
     The batch is padded to a mesh-size multiple with copies of realization
     0; padded entries are sliced off the returned traces.
+
+    ``thetas``: optional [R] per-realization kick angle (the drive-strength
+    axis, evolve_batch docstring) -- one more batch-sharded input, so
+    drive-strength grids scale over DCN like any other sweep.
     """
     mesh = mesh or global_mesh(axis_name)
     h_fields = np.asarray(jax.device_get(h_fields))
@@ -142,9 +147,15 @@ def evolve_batch_multihost(h_fields, taus, basis_indices, spec: SweepSpec,
     h_g = shard_batch(h_fields, mesh, axis_name)
     taus_g = shard_batch(taus, mesh, axis_name)
     basis_g = replicate(np.asarray(basis_indices), mesh)
+    thetas_g = None
+    if thetas is not None:
+        thetas = np.asarray(jax.device_get(thetas))
+        if pad_r:
+            thetas = np.concatenate([thetas, np.tile(thetas[:1], (pad_r,))])
+        thetas_g = shard_batch(thetas, mesh, axis_name)
     out = evolve_batch(h_g, taus_g, basis_g, spec,
                        correlation_site=correlation_site,
-                       two_time_anchor=two_time_anchor)
+                       two_time_anchor=two_time_anchor, thetas=thetas_g)
     out = gather(out)
     return {k: v[:R] for k, v in out.items()}
 

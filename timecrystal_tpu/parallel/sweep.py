@@ -229,12 +229,14 @@ def _resolve_svd_method(spec: SweepSpec, R: int,
     return spec._replace(tp=spec.tp._replace(svd_method=method))
 
 
-@partial(jax.jit, static_argnames=("n", "tp", "frame"))
-def _chunk_batch(psi_b, gates_b, psi0_b, n: int, tp: TruncParams, frame: str):
+@partial(jax.jit, static_argnames=("n", "tp", "frame", "correlation_site"))
+def _chunk_batch(psi_b, gates_b, psi0_b, n: int, tp: TruncParams, frame: str,
+                 correlation_site: int | None = None):
     from ..dynamics.tebd import evolve_floquet_scan
 
     def one(p, g, r):
-        return evolve_floquet_scan(p, g, n, tp, ref_state=r, frame=frame)
+        return evolve_floquet_scan(p, g, n, tp, ref_state=r, frame=frame,
+                                   correlation_site=correlation_site)
 
     return jax.vmap(one)(psi_b, gates_b, psi0_b)
 
@@ -296,7 +298,8 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
                       checkpoint_dir: str | None = None,
                       mesh: Mesh | None = None, axis_name: str = "batch",
                       growth: float = 2.0,
-                      cap_svd_method: str | None = None):
+                      cap_svd_method: str | None = None,
+                      correlation_site: int | None = None):
     """Chi-staged batched Floquet evolution: the ensemble production path.
 
     The batched analog of dynamics/tebd.evolve_floquet_auto (which the
@@ -336,6 +339,12 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
     shared chi schedule stays identical across hosts, and every process
     returns the full traces; checkpointing is rejected there (the sharded
     state is not host-addressable).
+
+    ``correlation_site``: when set, traces gain ``zz_corr [R, n+1, L]``
+    (the in-scan <sz_site sz_j> profile per period, same contract as
+    evolve_batch) -- the key joins the chunk trace contract and the
+    checkpoint layout, so staged runs, resumes, and mesh-sharded runs all
+    carry it.  Exact in both frames (z-diagonal observable).
 
     Returns (traces, info): traces as evolve_batch (leading axis R,
     time axis n_periods+1 with the t=0 row prepended), info with
@@ -377,6 +386,12 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
             return x
     R = int(h_fields.shape[0])
     L = spec.L
+    # the chunk trace contract (concat axis 1 = time); zz_corr joins it
+    # when the correlation trace is requested so chunking, checkpointing,
+    # and resume all carry the key uniformly
+    trace_keys = ("sz_sites", "loschmidt_echo", "entropies", "max_chi",
+                  "trunc_err") + (("zz_corr",)
+                                  if correlation_site is not None else ())
     cap = min(spec.chi, spec.tp.chi_max) if spec.tp.chi_max else spec.chi
     chi = min(chi_start, cap)
     if jax.default_backend() != "cpu":
@@ -433,7 +448,9 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
                        chi_start, growth, chunk_periods)
                       # appended only when set: keeps default-run
                       # fingerprints (and old checkpoints) stable
-                      + ((cap_svd_method,) if cap_svd_method else ())).encode()
+                      + ((cap_svd_method,) if cap_svd_method else ())
+                      + ((("corr", correlation_site),)
+                         if correlation_site is not None else ())).encode()
         fingerprint = hashlib.sha256(fp_src).hexdigest()
         if state_exists(ck_state) and (
                 _os.path.exists(_chunk_path(0))
@@ -452,8 +469,6 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
             n_rerun = int(meta.get("n_rerun", 0))
             wall_prev = float(meta.get("wall_time", 0.0))
             psi0 = fresh(chi)
-            trace_keys = ("sz_sites", "loschmidt_echo", "entropies",
-                          "max_chi", "trunc_err")
             n_need = int(meta["n_chunks"])
             if all(_os.path.exists(_chunk_path(i)) for i in range(n_need)):
                 # chunk files are written BEFORE the state, so every index
@@ -491,7 +506,8 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
                 # methods report at the f32 noise floor -- override to the
                 # bit-faithful kernel; only cap_svd_method routes projected
                 tp = tp._replace(svd_method="jacobi")
-        psi_next, tr = _chunk_batch(psi, gates, psi0, n, tp, spec.frame)
+        psi_next, tr = _chunk_batch(psi, gates, psi0, n, tp, spec.frame,
+                                    correlation_site)
         tr, exit_lam = fetch((tr, psi_next.lam))
         # trunc-err / significant-rank escalation criteria (the batch
         # shares one schedule: ANY realization's truncation escalates all)
@@ -524,9 +540,7 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
             # state's n_chunks is ignored and overwritten on resume)
             i_new = len(chunks) - 1
             atomic_savez(_chunk_path(i_new),
-                         **{k: chunks[i_new][k] for k in
-                            ("sz_sites", "loschmidt_echo", "entropies",
-                             "max_chi", "trunc_err")})
+                         **{k: chunks[i_new][k] for k in trace_keys})
             save_state(ck_state, psi,
                        {"p_done": p_done, "chi": chi,
                         "escalations": escalations,
@@ -537,8 +551,7 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
 
     wall_time = wall_prev + (_time.time() - start)
     cat = {k: np.concatenate([c[k] for c in chunks], axis=1)[:, :n_periods]
-           for k in ("sz_sites", "loschmidt_echo", "entropies", "max_chi",
-                     "trunc_err")}
+           for k in trace_keys}
     # the slice keeps the [R, n_periods(+1)] contract when a resume's
     # checkpoint already holds MORE periods than this call requested
     basis = np.asarray(basis_indices)
@@ -558,6 +571,16 @@ def evolve_batch_auto(h_fields, taus, basis_indices, spec: SweepSpec,
             [np.zeros((R, 1), cat["trunc_err"].dtype), cat["trunc_err"]],
             axis=1),
     }
+    if correlation_site is not None:
+        # t=0 profile of the shared product state: <sz_i sz_j> = s_i s_j
+        # for j != i (and exactly 1 at j == i), s = 1 - 2*basis -- the
+        # closed form of observables.zz_correlation_profile on a product
+        # state, so no device call is needed for the prepended row
+        s = (1.0 - 2.0 * basis).astype(cat["zz_corr"].dtype)
+        zz0 = s[correlation_site] * s
+        zz0[correlation_site] = 1.0
+        traces["zz_corr"] = np.concatenate(
+            [np.broadcast_to(zz0, (R, 1, L)), cat["zz_corr"]], axis=1)
     from ..core.observables import add_derived_magnetization
 
     add_derived_magnetization(traces, L)
@@ -601,16 +624,11 @@ def evolve_batch_sharded(h_fields, taus, basis_indices, spec: SweepSpec,
     if jax.process_count() > 1:
         from .multihost import evolve_batch_multihost
 
-        if thetas is not None:
-            raise NotImplementedError(
-                "per-realization thetas are not yet threaded through the "
-                "multi-process path (evolve_batch_multihost); run the "
-                "drive-strength sweep single-process or shard a fixed-theta "
-                "slice per host")
         return evolve_batch_multihost(h_fields, taus, basis_indices, spec,
                                       mesh=mesh, axis_name=axis_name,
                                       correlation_site=correlation_site,
-                                      two_time_anchor=two_time_anchor)
+                                      two_time_anchor=two_time_anchor,
+                                      thetas=thetas)
     R = int(h_fields.shape[0])
     h_fields, taus, place = _pad_to_mesh(h_fields, taus, mesh, axis_name)
     if thetas is not None:
@@ -648,15 +666,11 @@ def disorder_ensemble(key, n_realizations: int, spec: SweepSpec,
     taus = jnp.full((n_realizations,), tau)
     basis = _basis_indices(spec.L, state_type)
     if staged:
-        if correlation_site is not None:
-            raise NotImplementedError(
-                "correlation_site is not supported on the chi-staged path "
-                "(fixed chunk trace keys / checkpoint layout); use the "
-                "fixed-chi paths (staged=False)")
         traces, _ = evolve_batch_auto(h, taus, jnp.asarray(basis), spec,
                                       chi_start=chi_start,
                                       chunk_periods=chunk_periods, mesh=mesh,
-                                      cap_svd_method=cap_svd_method)
+                                      cap_svd_method=cap_svd_method,
+                                      correlation_site=correlation_site)
         return traces
     if mesh is not None:
         return evolve_batch_sharded(h, taus, basis, spec, mesh,
