@@ -75,6 +75,7 @@ def spawn_cluster(out_paths, timeout: float = 600.0):
     s.close()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)   # this file pins cpu via jax.config
+    env["TCT_CKPT_TAG"] = str(port)  # unique shared ckpt dir per cluster run
     me = os.path.abspath(__file__)
     argvs = {
         "rank0": ["0", str(port), out_paths["rank0"]],
@@ -157,6 +158,55 @@ def _compute_all(mh=None):
     out.update({f"site_{k}": np.asarray(v)
                 for k, v in site_tr.items()
                 if k in ("sz_sites", "loschmidt_echo", "trunc_err")})
+
+    # per-rank shard checkpointing (cluster only): kill the staged driver
+    # after its FIRST state save (both ranks die at the same chunk -- SPMD
+    # control flow is identical), resume in-process, and emit the resumed
+    # traces; the test asserts them equal to the straight staged leg above
+    # and to the single-process reference.
+    if mh is not None:
+        import tempfile
+
+        from timecrystal_tpu.utils import checkpoint as ck_mod
+
+        ckdir = os.path.join(tempfile.gettempdir(),
+                             f"tct_mh_ckpt_{os.environ.get('TCT_CKPT_TAG', '')}")
+        # a stale rank dir from a previous run would resume instead of
+        # exercising the kill; each rank cleans only ITS OWN subdirectory
+        import shutil
+
+        import jax as _jax
+
+        shutil.rmtree(os.path.join(
+            ckdir, f"rank_{_jax.process_index():04d}"), ignore_errors=True)
+        orig_save = ck_mod.save_state
+        n_saves = []
+
+        def dying_save(*a, **kw):
+            r = orig_save(*a, **kw)
+            n_saves.append(1)
+            if len(n_saves) == 1:
+                raise KeyboardInterrupt("injected kill after first chunk")
+            return r
+
+        ck_mod.save_state = dying_save
+        died = False
+        try:
+            evolve_batch_auto(h_fields, taus, basis, spec, chi_start=4,
+                              chunk_periods=2, mesh=mh.global_mesh(),
+                              checkpoint_dir=ckdir)
+        except KeyboardInterrupt:
+            died = True
+        finally:
+            ck_mod.save_state = orig_save
+        assert died, "injected kill never fired (no state save happened)"
+        resumed, _ = evolve_batch_auto(h_fields, taus, basis, spec,
+                                       chi_start=4, chunk_periods=2,
+                                       mesh=mh.global_mesh(),
+                                       checkpoint_dir=ckdir)
+        out.update({f"ckpt_{k}": np.asarray(v) for k, v in resumed.items()
+                    if k in ("sz_sites", "loschmidt_echo",
+                             "staggered_magnetization", "trunc_err")})
 
     # memory-channel ensemble (analysis/memory): the (gamma x trajectory)
     # stochastic-dephasing batch over the global mesh; keys are

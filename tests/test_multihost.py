@@ -132,26 +132,15 @@ class TestTwoProcessCluster:
         for k in ("thetas_sz_sites", "thetas_staggered_magnetization",
                   "thetas_loschmidt_echo", "thetas_trunc_err"):
             np.testing.assert_allclose(r0[k], ref[k], atol=1e-12, err_msg=k)
-
-    def test_checkpoint_rejected_multiprocess(self):
-        """The staged driver must REFUSE checkpoint_dir on a multi-process
-        mesh (single-process here, so exercise the guard directly)."""
-        from timecrystal_tpu.parallel.sweep import evolve_batch_auto
-
-        h_fields, taus, basis, spec = make_problem()
-        # monkeypatch-free: the guard reads jax.process_count()
-        import jax
-
-        orig = jax.process_count
-        jax.process_count = lambda *a, **kw: 2
-        try:
-            with pytest.raises(ValueError, match="multi-process"):
-                evolve_batch_auto(h_fields, taus, basis, spec,
-                                  chi_start=4, chunk_periods=2,
-                                  mesh=mh.global_mesh(),
-                                  checkpoint_dir="/tmp/never-used")
-        finally:
-            jax.process_count = orig
+        # per-rank shard checkpointing: the staged driver killed after its
+        # first state save and resumed IN the cluster must reproduce both
+        # the straight cluster staged leg and the single-process reference
+        for k in ("sz_sites", "loschmidt_echo", "staggered_magnetization",
+                  "trunc_err"):
+            np.testing.assert_allclose(r0[f"ckpt_{k}"], r0[f"staged_{k}"],
+                                       atol=1e-12, err_msg=k)
+            np.testing.assert_allclose(r0[f"ckpt_{k}"], ref[f"staged_{k}"],
+                                       atol=1e-12, err_msg=k)
 
     def test_phase_grid_checkpoint_rejected_multiprocess(self):
         """sweep_phase_grid must refuse checkpoint_dir multi-process:
