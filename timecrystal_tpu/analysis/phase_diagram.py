@@ -37,12 +37,21 @@ def calculate_phase_point(h_over_J: float, T_J: float, params: Dict) -> Dict:
 def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
                      chi_pad: int = 32, show_progress: bool = False,
                      checkpoint_dir: str | None = None,
-                     chunk_size: int | None = None) -> Dict:
+                     chunk_size: int | None = None,
+                     svd_method: str | None = None) -> Dict:
     """Evolve the whole (h/J x T.J) grid in one batched call and score it.
 
     ``checkpoint_dir`` switches to chunked evolution with per-chunk
     persistence (utils/checkpoint.SweepCheckpointer): an interrupted sweep
     resumes at the first incomplete chunk.
+
+    ``svd_method`` overrides the automatic SVD-backend routing
+    (_resolve_svd_method) for every chunk -- the worker-fault recovery
+    path (sweep_phase_grid_faultsafe) retries a kernel-faulted sweep with
+    the fault-immune 'jacobi' kernel.  The SVD backend is deliberately
+    NOT part of the chunk fingerprint: every backend computes the same
+    truncated SVD (differences sit at the dtype noise floor), so chunks
+    completed before a mid-sweep backend switch are kept, not recomputed.
 
     ``mesh='auto'`` (the generate_phase_diagram default) shards the grid
     batch over all devices whenever more than one is attached
@@ -58,6 +67,8 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
     tp = TruncParams(chi_max=hc["max_chi"],
                      svd_min=float(params.get("SVD_MIN", 1e-12)),
                      trunc_cut=float(params.get("SVD_CUTOFF", 1e-7)))
+    if svd_method:
+        tp = tp._replace(svd_method=svd_method)
     spec = SweepSpec(L=hc["n_sites"], chi=chi_pad, n_periods=hc["n_periods"],
                      J=float(params.get("J", 1.0)), theta=float(np.pi), tp=tp)
     h_fields, taus, hs, Ts = phase_grid_batch(
@@ -111,9 +122,12 @@ def sweep_phase_grid(h_values, T_values, params: Dict, mesh=None,
         # grid: fields/taus define the points, cs defines the chunk->row
         # mapping, spec the evolution -- a stale/misaligned checkpoint
         # would otherwise silently paint wrong A2T at wrong grid points
+        # svd_method neutralized: a fault-recovery backend switch must
+        # keep already-completed chunks (docstring above)
+        fp_spec = spec._replace(tp=spec.tp._replace(svd_method="*"))
         fp_src = repr((np.round(np.asarray(h_fields), 12).tolist(),
                        np.round(np.asarray(taus), 12).tolist(),
-                       np.asarray(basis).tolist(), spec, cs)).encode()
+                       np.asarray(basis).tolist(), fp_spec, cs)).encode()
         ck = SweepCheckpointer(checkpoint_dir,
                                fingerprint=hashlib.sha256(fp_src).hexdigest())
         done = ck.completed_chunks()
@@ -323,9 +337,19 @@ def generate_drive_diagram(params: Dict, mesh=None, out_dir: str = "figures",
 
 
 def generate_phase_diagram(params: Dict, mesh="auto", out_dir: str = "figures",
-                           show_progress: bool = True) -> Tuple:
+                           show_progress: bool = True,
+                           faultsafe: bool | None = None) -> Tuple:
     """Compute, render, and save the phase diagram
-    (reference main.py:417-567; same output files)."""
+    (reference main.py:417-567; same output files).
+
+    ``faultsafe`` (default None = auto): route the sweep through the
+    worker-fault recovery supervisor (analysis/faultsafe.py) -- the grid
+    evolves in a supervised child with per-chunk checkpointing, and a
+    kernel-faulted chunk re-runs in a fresh process on the fault-immune
+    Jacobi kernel instead of killing ``python main.py --phase-only``.
+    Auto = on for single-process accelerator runs; off on the CPU backend
+    (nothing to fault) and in multi-process runs (the supervisor child is
+    single-process)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -344,8 +368,23 @@ def generate_phase_diagram(params: Dict, mesh="auto", out_dir: str = "figures",
           f"T*J range: [{hc['T_range'][0]:.2f}, {hc['T_range'][1]:.2f}]")
     print(f"System size: {hc['n_sites']}, Evolution periods: {hc['n_periods']}")
 
-    res = sweep_phase_grid(h_values, T_values, params, mesh=mesh,
-                           show_progress=show_progress)
+    if faultsafe is None:
+        import jax
+
+        faultsafe = (jax.default_backend() != "cpu"
+                     and jax.process_count() == 1)
+    if faultsafe:
+        from .faultsafe import sweep_phase_grid_faultsafe
+
+        res = sweep_phase_grid_faultsafe(h_values, T_values, params,
+                                         show_progress=show_progress)
+        if res["recovery"]["fault_recovered"]:
+            print("NOTE: a worker kernel fault was recovered mid-sweep "
+                  f"(attempts: {res['recovery']['attempts']}, final SVD "
+                  f"routing: {res['recovery']['svd_method']})")
+    else:
+        res = sweep_phase_grid(h_values, T_values, params, mesh=mesh,
+                               show_progress=show_progress)
     A2T = np.zeros((nT, nh))
     raw = np.zeros((nT, nh))
     success = np.zeros((nT, nh), dtype=bool)

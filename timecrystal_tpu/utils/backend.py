@@ -19,6 +19,25 @@ import sys
 
 _ENV_DEADLINE = "TCT_BACKEND_PROBE_DEADLINE"
 
+# Signatures of accelerator/worker failures (vs deterministic Python bugs):
+# matched against exception text or a child process's output to decide
+# whether a retry in a fresh process can help.  Shared by bench.py's
+# retry-once logic and the sweep fault-recovery supervisor
+# (analysis/faultsafe.py).
+BACKEND_FAILURE_MARKS = ("FailedPrecondition", "DEADLINE_EXCEEDED",
+                         "UNAVAILABLE", "Socket closed",
+                         "failed to connect", "Connection reset",
+                         "Accelerator device halted",
+                         "TPU worker process crashed",
+                         "worker process crashed or restarted")
+
+
+def is_backend_failure(text: str) -> bool:
+    """True when exception text / child output carries a worker-failure
+    signature (retryable in a fresh process), as opposed to a
+    deterministic error that would just fail again."""
+    return any(m in text for m in BACKEND_FAILURE_MARKS)
+
 
 def backend_available(deadline_s: float | None = None) -> bool:
     """True when the default jax backend initializes in a child process
