@@ -293,6 +293,27 @@ class TestSpectral:
         t = np.arange(5) * 1.0
         assert float(obs.extract_subharmonic_amplitude(t, np.ones(5), 2.0)) == 0.0
 
+    def test_weight_fraction_nonsaturating(self):
+        """subharmonic_weight_fraction: near-1 for a pure period-doubled
+        signal, near-0 for a pure fundamental, and -- unlike A2T, which
+        plateaus at exactly 1.0 -- strictly decreasing as weight moves to
+        other frequencies while the omega/2 bin still dominates."""
+        t = np.arange(100) * 1.0
+        period = 2.0
+        pure = np.cos(2 * np.pi * t / (2 * period))
+        fund = np.cos(2 * np.pi * t / period)
+        assert obs.subharmonic_weight_fraction(t, pure, period) > 0.95
+        assert obs.subharmonic_weight_fraction(t, fund, period) < 0.1
+        assert obs.subharmonic_weight_fraction(t, np.ones(5), period) == 0.0
+        # 70/30 mix: A2T saturates (omega/2 still the max bin), the
+        # weight fraction does not
+        mixed = 0.7 * pure + 0.3 * fund
+        a2t_mix = obs.extract_subharmonic_amplitude(t, mixed, period)
+        w_pure = obs.subharmonic_weight_fraction(t, pure, period)
+        w_mix = obs.subharmonic_weight_fraction(t, mixed, period)
+        assert a2t_mix > 0.99          # the saturating metric is blind here
+        assert 0.5 < w_mix < 0.9 * w_pure   # the fraction keeps gradient
+
     def test_fourier_spectrum_peak_location(self):
         t = np.arange(200) * 1.0
         period = 4.0

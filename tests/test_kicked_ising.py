@@ -76,6 +76,22 @@ class TestFloquetStep:
         np.testing.assert_allclose(times, [0.0, 1.0, 2.0, 3.0])
         assert len(states) == 4
 
+    def test_evolve_fetch_chunking_is_transport_only(self):
+        """Chunked host fetches (one stacked round trip per fetch_every
+        periods) return states bit-identical to per-period fetches; the
+        ragged tail (5 periods at fetch_every=3) flushes too."""
+        m = KickedIsingModel(6, 1.0, 0.2, 0.8, disorder_seed=3, dtype=DTYPE)
+        psi = M.create_initial_state(6, "neel", chi=16, dtype=DTYPE)
+        ref_states, ref_times = m.evolve(psi, 5, TP, fetch_every=1)
+        chk_states, chk_times = m.evolve(psi, 5, TP, fetch_every=3)
+        assert ref_times == chk_times
+        assert len(chk_states) == 6
+        for a, b in zip(ref_states, chk_states):
+            np.testing.assert_array_equal(np.asarray(a.B.re),
+                                          np.asarray(b.B.re))
+            np.testing.assert_array_equal(np.asarray(a.lam),
+                                          np.asarray(b.lam))
+
 
 class TestExactParity:
     """MPS evolution vs dense statevector with identical gate semantics."""

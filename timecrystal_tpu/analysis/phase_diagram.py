@@ -191,7 +191,8 @@ def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
     import jax
     import jax.numpy as jnp
 
-    from ..core.observables import extract_subharmonic_amplitude
+    from ..core.observables import (extract_subharmonic_amplitude,
+                                    subharmonic_weight_fraction)
     from ..parallel.sweep import evolve_batch_sharded
 
     hc = GRID_HARDCODED
@@ -259,15 +260,22 @@ def sweep_drive_grid(eps_values, h_values, params: Dict, mesh=None,
     stag = traces["staggered_magnetization"]
     records = []
     a2t = np.zeros(len(eps_f))
+    w2t = np.zeros(len(eps_f))
     for g in range(len(eps_f)):
         s = stag[g]
         ok = bool(np.all(np.isfinite(s)))
-        a2t[g] = extract_subharmonic_amplitude(times, s, 2.0 * tau) \
-            if ok else 0.0
+        if ok:
+            a2t[g] = extract_subharmonic_amplitude(times, s, 2.0 * tau)
+            # non-saturating companion metric: subharmonic fraction of
+            # TOTAL spectral weight (carries gradient where A2T plateaus
+            # at 1.0 -- see the generate_drive_diagram eps_range note)
+            w2t[g] = subharmonic_weight_fraction(times, s, 2.0 * tau)
         records.append({"eps": float(eps_f[g]), "h_over_J": float(h_f[g]),
-                        "A2T": float(a2t[g]), "success": ok})
-    return {"A2T": a2t.reshape(eps_g.shape), "eps": np.asarray(eps_values,
-                                                               float),
+                        "A2T": float(a2t[g]),
+                        "subharmonic_weight": float(w2t[g]), "success": ok})
+    return {"A2T": a2t.reshape(eps_g.shape),
+            "subharmonic_weight": w2t.reshape(eps_g.shape),
+            "eps": np.asarray(eps_values, float),
             "hs": np.asarray(h_values, float), "records": records,
             "traces": traces}
 
@@ -286,7 +294,10 @@ def generate_drive_diagram(params: Dict, mesh=None, out_dir: str = "figures",
     dominates -- at L=16/80 periods the melting transition sits near
     eps ~ 0.4 (measured: eps=0.3 keeps A2T=1.0 at any h even though the
     raw staggered amplitude has decayed to ~0.24-0.45; eps=0.45 melts to
-    A2T~0.3), so a narrower range renders a uniform map.
+    A2T~0.3), so a narrower range renders a uniform map.  The RIGHT panel
+    plots the non-saturating companion metric (subharmonic fraction of
+    total spectral weight, observables.subharmonic_weight_fraction),
+    which carries gradient on both sides of the melting boundary.
     """
     import matplotlib
     matplotlib.use("Agg")
@@ -305,24 +316,30 @@ def generate_drive_diagram(params: Dict, mesh=None, out_dir: str = "figures",
     res = sweep_drive_grid(eps_values, h_values, params, mesh=mesh,
                            chunk_size=chunk_size)
     A2T = res["A2T"]
+    W2T = res["subharmonic_weight"]
 
-    fig, ax = plt.subplots(figsize=(10, 8))
-    im = ax.imshow(A2T.T, extent=[*eps_range, *h_range], aspect="auto",
-                   origin="lower", cmap="viridis",
-                   interpolation="bilinear", vmin=0,
-                   vmax=max(float(np.max(A2T)), 1e-12))
-    cbar = plt.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
-    cbar.set_label(r"Subharmonic response $A_{2T}$", rotation=270,
-                   labelpad=25, fontsize=18)
-    cbar.ax.tick_params(labelsize=16)
-    if np.max(A2T) > 0.3:
-        ax.contour(eps_values, h_values, A2T.T,
-                   levels=[float(np.max(A2T)) * 0.5], colors="white",
-                   linewidths=2, linestyles="--")
-    ax.set_xlabel(r"Pulse imperfection $\epsilon = 1 - \theta/\pi$",
-                  fontsize=18)
-    ax.set_ylabel(r"Disorder strength $h/J$", fontsize=18)
-    ax.tick_params(axis="both", which="major", labelsize=16)
+    fig, axes = plt.subplots(1, 2, figsize=(19, 8))
+    panels = (
+        (axes[0], A2T, r"Subharmonic response $A_{2T}$"),
+        (axes[1], W2T,
+         r"Subharmonic weight fraction $|F(\omega/2)|^2 / \Sigma |F|^2$"),
+    )
+    for ax, Z, label in panels:
+        im = ax.imshow(Z.T, extent=[*eps_range, *h_range], aspect="auto",
+                       origin="lower", cmap="viridis",
+                       interpolation="bilinear", vmin=0,
+                       vmax=max(float(np.max(Z)), 1e-12))
+        cbar = plt.colorbar(im, ax=ax, fraction=0.046, pad=0.04)
+        cbar.set_label(label, rotation=270, labelpad=25, fontsize=18)
+        cbar.ax.tick_params(labelsize=16)
+        if np.max(Z) > 0.3:
+            ax.contour(eps_values, h_values, Z.T,
+                       levels=[float(np.max(Z)) * 0.5], colors="white",
+                       linewidths=2, linestyles="--")
+        ax.set_xlabel(r"Pulse imperfection $\epsilon = 1 - \theta/\pi$",
+                      fontsize=18)
+        ax.set_ylabel(r"Disorder strength $h/J$", fontsize=18)
+        ax.tick_params(axis="both", which="major", labelsize=16)
     plt.tight_layout(pad=1.5)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -333,7 +350,9 @@ def generate_drive_diagram(params: Dict, mesh=None, out_dir: str = "figures",
     print(f"Drive-strength diagram saved to "
           f"{out_dir}/drive_strength_diagram.png/.pdf")
     print(f"A2T range: [{np.min(A2T):.3f}, {np.max(A2T):.3f}]")
-    return fig, ax
+    print(f"Subharmonic weight fraction range: "
+          f"[{np.min(W2T):.3f}, {np.max(W2T):.3f}]")
+    return fig, axes
 
 
 def generate_phase_diagram(params: Dict, mesh="auto", out_dir: str = "figures",

@@ -89,6 +89,13 @@ def correlation_function(psi: MPS, op1: str, op2: str, i: int, j: int) -> C:
     Same-site case multiplies the operators; distinct sites contract the
     transfer matrix between i and j with the B-form environments.  Returns
     a C scalar.
+
+    NOTE: the transfer steps unroll O(|i - j|) in Python (i, j are
+    static), so tracing this over MANY pairs compiles quadratically in L.
+    For zz correlations from one anchor use ``zz_correlation_profile``
+    instead -- the whole [L] profile in two O(L) scans, cheap enough to
+    run in-scan per period; this per-pair form exists for reference API
+    parity and arbitrary (op1, op2) figure use.
     """
     o1 = G.pauli_c(op1, psi.dtype)
     o2 = G.pauli_c(op2, psi.dtype)
@@ -374,6 +381,47 @@ def extract_subharmonic_amplitude(times, magnetizations, period) -> float:
     amp = np.abs(fft_pos[sub_idx])
     max_amp = np.max(np.abs(fft_pos))
     return float(amp / max_amp) if max_amp > 1e-12 else 0.0
+
+
+def subharmonic_weight_fraction(times, magnetizations, period) -> float:
+    """Subharmonic fraction of TOTAL spectral weight: the omega/2 Hann
+    main lobe's power over sum|F|^2.
+
+    The non-saturating companion of ``extract_subharmonic_amplitude``:
+    A2T normalizes by the MAX bin, so it plateaus at exactly 1.0 over the
+    whole region where the omega/2 bin still dominates (the drive-strength
+    melting diagram is flat until eps ~ 0.4 at L=16/80 periods --
+    analysis/phase_diagram.generate_drive_diagram note).  Normalizing by
+    the total power instead keeps gradient on BOTH sides of the melting
+    boundary: a perfect period-doubled response concentrates ~all weight
+    in one bin (fraction near 1 up to window leakage), and any transfer of
+    weight to other frequencies lowers it continuously.  Same windowed-FFT
+    recipe and validity guards as the reference-parity A2T.
+    """
+    t = np.asarray(times, dtype=float)
+    m = np.asarray(magnetizations, dtype=float)
+    if len(t) < 10 or len(m) < 10:
+        return 0.0
+    valid = np.isfinite(m) & np.isfinite(t)
+    if np.sum(valid) < 10:
+        return 0.0
+    t, m = t[valid], m[valid]
+    dt = float(np.mean(np.diff(t)))
+    if dt <= 0:
+        return 0.0
+    freqs_pos, fft_pos = _windowed_fft(m, dt)
+    if len(freqs_pos) == 0:
+        return 0.0
+    power = np.abs(fft_pos) ** 2
+    total = float(np.sum(power))
+    if total <= 1e-24:
+        return 0.0
+    sub_idx = int(np.argmin(np.abs(freqs_pos - (1.0 / period) / 2.0)))
+    # sum the Hann main lobe (bin +-1): the window puts only ~2/3 of a
+    # pure tone's power in its center bin (coefficients 0.5/0.25/0.25),
+    # so the single-bin fraction would cap at 0.66 even for a perfect DTC
+    lo, hi = max(sub_idx - 1, 0), min(sub_idx + 2, len(power))
+    return float(np.sum(power[lo:hi]) / total)
 
 
 def extract_subharmonic_amplitude_from_loschmidt(times, loschmidt_echoes, period) -> float:
