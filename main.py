@@ -45,6 +45,12 @@ Examples:
                            "eps x disorder h/J) DTC melting diagram -- the "
                            "sweep the reference abstract advertises but "
                            "never implements")
+    mode.add_argument("--range-diagram", action="store_true",
+                      help="Generate the interaction-range diagram: "
+                           "subharmonic response A2T vs power-law exponent "
+                           "alpha (J/r^alpha couplings, TDVP-integrated) -- "
+                           "the third sweep axis the reference abstract "
+                           "advertises but never implements")
     mode.add_argument("--memory-diagram", action="store_true",
                       help="Generate the DTC-as-quantum-memory lifetime "
                            "figure: stored-bit envelope decay + tau_bit vs "
@@ -122,13 +128,14 @@ def main() -> None:
         return
     print(f"Loaded {len(params)} parameters")
 
-    solo = args.drive_diagram or args.memory_diagram
+    solo = args.drive_diagram or args.memory_diagram or args.range_diagram
     generate_phase = not (args.figures_only or solo)
     generate_figures = not (args.phase_only or solo)
     mode = ("Phase diagram only" if args.phase_only else
             "Individual figures A-D only" if args.figures_only else
             "Drive-strength diagram only" if args.drive_diagram else
             "Memory-lifetime diagram only" if args.memory_diagram else
+            "Interaction-range diagram only" if args.range_diagram else
             "Both phase diagram and individual figures A-D")
     print(f"Mode: {mode}")
 
@@ -141,6 +148,13 @@ def main() -> None:
                 generate_drive_diagram
             import matplotlib.pyplot as plt
             generate_drive_diagram(params)
+            plt.close("all")
+
+        if args.range_diagram:
+            from timecrystal_tpu.analysis.phase_diagram import \
+                generate_range_diagram
+            import matplotlib.pyplot as plt
+            generate_range_diagram(params)
             plt.close("all")
 
         if args.memory_diagram:

@@ -193,3 +193,28 @@ class TestLongRangeFloquet:
         signs = np.sign(stag)
         assert np.all(signs == np.asarray([1, -1, 1, -1, 1, -1, 1]))
         assert np.min(np.abs(stag)) > 0.5
+
+
+class TestRangeDiagram:
+    def test_figure_smoke(self, tmp_path):
+        """generate_range_diagram (the --range-diagram CLI deliverable)
+        renders and saves at tiny scan parameters; the eps=0 curve sits on
+        the protected plateau."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from timecrystal_tpu.analysis.phase_diagram import \
+            generate_range_diagram
+
+        params = {"J": 1.0, "T_DRIVE": 2.0, "H_MAX": 0.25,
+                  "RANDOM_SEED": 42}
+        fig, results = generate_range_diagram(
+            params, out_dir=str(tmp_path), alphas=[1.5, None],
+            eps_values=(0.0,), L=6, n_periods=12, n_realizations=1,
+            chi=16, substeps=1)
+        assert (tmp_path / "interaction_range_diagram.png").exists()
+        assert (tmp_path / "interaction_range_diagram.pdf").exists()
+        assert np.all(results[0.0]["a2t"] > 0.9)
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)

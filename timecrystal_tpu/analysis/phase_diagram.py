@@ -355,6 +355,98 @@ def generate_drive_diagram(params: Dict, mesh=None, out_dir: str = "figures",
     return fig, axes
 
 
+def generate_range_diagram(params: Dict, out_dir: str = "figures",
+                           alphas=None, eps_values=(0.0, 0.05),
+                           L: int = 12, n_periods: int = 24,
+                           n_realizations: int = 3, chi: int = 48,
+                           substeps: int = 2) -> Tuple:
+    """Render the interaction-range axis: A2T vs power-law exponent alpha.
+
+    The THIRD sweep axis the reference abstract advertises ("sweeping the
+    drive strength, interaction range, and disorder",
+    /root/reference/README.md:19) and its code never implements --
+    models/long_range.py supplies the physics (J/r^alpha FSM-MPO + TDVP
+    Floquet integrator, trapped-ion DTC regime alpha ~ 0.5-3); this
+    renders the committed deliverable
+    figures/interaction_range_diagram.{png,pdf}.
+
+    One curve per pulse imperfection eps = 1 - theta/pi: at an exact pi
+    pulse (eps = 0) the period doubling is protected at ANY range (flat
+    A2T ~ 1, the sanity anchor); at finite eps the subharmonic response
+    depends on how the interactions pin the spins -- the alpha axis shows
+    how much range the DTC order tolerates.  The nearest-neighbor limit
+    (alpha = inf, the reference's only physics) is the rightmost point of
+    each curve.  Disorder-averaged over ``n_realizations`` reference-
+    convention draws; error band = realization std.
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from ..models.long_range import scan_interaction_range
+
+    if alphas is None:
+        alphas = [0.8, 1.2, 1.6, 2.0, 2.5, 3.0, None]
+    J = float(params.get("J", 1.0))
+    tau = float(params.get("T_DRIVE", 2.0)) / (2.0 * J)
+    h_over_J = float(params.get("H_MAX", 0.3))
+    seed = int(params.get("RANDOM_SEED", 42))
+
+    # x positions: finite alphas at value; the NN limit one slot right
+    finite = [a for a in alphas if a is not None and np.isfinite(a)]
+    x_nn = (max(finite) + (finite[-1] - finite[0]) / max(len(finite) - 1, 1)
+            if finite else 1.0)
+
+    results = {}
+    for eps in eps_values:
+        print(f"Interaction-range scan at eps = {eps:g} "
+              f"({len(alphas)} alphas x {n_realizations} realizations, "
+              f"L={L}, {n_periods} periods, TDVP chi={chi})...")
+        results[eps] = scan_interaction_range(
+            alphas, L=L, J=J, h_disorder=h_over_J * J, tau=tau,
+            theta=(1.0 - eps) * float(np.pi), n_periods=n_periods,
+            n_realizations=n_realizations, chi=chi, substeps=substeps,
+            seed0=seed, progress=True)
+
+    fig, ax = plt.subplots(figsize=(10, 7))
+    colors = plt.get_cmap("viridis")(np.linspace(0.15, 0.8,
+                                                 len(eps_values)))
+    xs = [float(a) if a is not None and np.isfinite(a) else x_nn
+          for a in alphas]
+    for c, eps in zip(colors, eps_values):
+        res = results[eps]
+        ax.errorbar(xs, res["a2t"], yerr=res["a2t_std"], marker="o",
+                    color=c, capsize=3,
+                    label=rf"$\epsilon = {eps:g}$")
+    ax.axvline(x_nn, color="0.6", linestyle=":", linewidth=1)
+    labels = [f"{x:g}" for x in xs[:-1]] + \
+        ([r"NN ($\infty$)"] if alphas[-1] is None
+         or not np.isfinite(alphas[-1]) else [f"{xs[-1]:g}"])
+    ax.set_xticks(xs)
+    ax.set_xticklabels(labels)
+    ax.set_xlabel(r"Interaction-range exponent $\alpha$  "
+                  r"($J(r) = J/r^\alpha$)", fontsize=16)
+    ax.set_ylabel(r"Subharmonic response $A_{2T}$", fontsize=16)
+    ax.set_ylim(-0.05, 1.1)
+    ax.legend(fontsize=13, title="Pulse imperfection")
+    ax.set_title(rf"DTC order vs interaction range  ($L={L}$, "
+                 rf"$h/J={h_over_J:g}$, {n_realizations} disorder real.)",
+                 fontsize=15)
+    plt.tight_layout(pad=1.5)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for ext, kw in (("png", {"dpi": 600}), ("pdf", {})):
+        fig.savefig(os.path.join(out_dir, f"interaction_range_diagram.{ext}"),
+                    bbox_inches="tight", facecolor="white",
+                    edgecolor="none", **kw)
+    print(f"Interaction-range diagram saved to "
+          f"{out_dir}/interaction_range_diagram.png/.pdf")
+    for eps in eps_values:
+        print(f"  eps={eps:g}: A2T "
+              f"{np.round(results[eps]['a2t'], 3).tolist()}")
+    return fig, results
+
+
 def generate_phase_diagram(params: Dict, mesh="auto", out_dir: str = "figures",
                            show_progress: bool = True,
                            faultsafe: bool | None = None) -> Tuple:
