@@ -124,7 +124,25 @@ def _steady_state():
     return psi, gates, tp
 
 
-def run_steady(n_periods: int) -> float:
+def _time_steady(psi, gates, tp, n_periods: int):
+    """Best-of-3 steady throughput of evolve_floquet_scan from the settled
+    state, plus the last run's per-period trunc_err trace (identical
+    across repetitions: same start state, same program)."""
+    from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
+
+    _, tr = evolve_floquet_scan(psi, gates, n_periods, tp, frame="merged")
+    np.asarray(tr["loschmidt_echo"])         # sync (block_until_ready is a
+    best = 0.0                               # no-op through the axon tunnel)
+    for _ in range(3):
+        t0 = time.time()
+        _, tr = evolve_floquet_scan(psi, gates, n_periods, tp,
+                                    frame="merged")
+        np.asarray(tr["loschmidt_echo"])
+        best = max(best, n_periods / (time.time() - t0))
+    return best, np.asarray(tr["trunc_err"])
+
+
+def run_steady(psi, gates, tp, n_periods: int):
     """Saturated-chi throughput on the core-matrix projected-SVD path
     (svd_method='jacobi_core_fast', ops/pallas/jacobi_svd.jacobi_core
     with the single-pass-bf16 quintic polar stage): at steady state the
@@ -137,21 +155,49 @@ def run_steady(n_periods: int) -> float:
     The _fast variant is the right call HERE because the measured
     workload is exactly the spectrum class it is gated on (saturated
     steep TEBD thetas); the input-agnostic default 'jacobi_core' keeps
-    full quintic precision."""
+    full quintic precision.
+
+    Returns (periods/s, cert_err): cert_err is the MACHINE-CHECKED
+    accuracy certificate for the projected path -- the max per-period
+    reported discarded weight over the timed window.  The projected
+    kernels' reported disc is a VARIATIONAL UPPER BOUND on the true
+    discarded Schmidt weight (kept S <= true S per triplet, disc >= true
+    disc; tests/test_csvd.py::TestJacobiCore pins the property), so the
+    certificate is sound per period with no reference trace needed."""
+    best, terr = _time_steady(psi, gates,
+                              tp._replace(svd_method="jacobi_core_fast"),
+                              n_periods)
+    return best, float(np.max(terr))
+
+
+def run_steady_exact(psi, gates, tp, n_periods: int) -> float:
+    """Bit-faithful steady leg: the full adaptive-exit Jacobi kernel
+    (svd_method auto -> jacobi_sv on [512, 512] thetas), exact-class
+    numerics (no projection; end-to-end trace error vs the f64 oracle
+    ~3e-5 class, ops/pallas/jacobi_svd.jacobi_sv calibration notes)."""
+    best, _ = _time_steady(psi, gates, tp, n_periods)
+    return best
+
+
+def run_steady_chi512(psi, gates, tp, n_timed: int):
+    """Scaling-headroom leg: saturated steady throughput at DOUBLE the
+    headline chi (chi=512 production, [1024, 1024] thetas), tracked per
+    round instead of re-probed (round-4 VERDICT item 9).  The settled
+    chi-256 state is zero-padded to the double width and evolved 10
+    periods in two 5-period scan programs first -- the chunked-scan
+    stability workaround from baselines/chi512_validation.py (one long
+    chi=512 scan drove the axon worker into a crash/restart once); the
+    occupancy grows into the new padding before the timed window."""
+    from timecrystal_tpu.core.mps import pad_mps
     from timecrystal_tpu.dynamics.tebd import evolve_floquet_scan
 
-    psi, gates, tp = _steady_state()
-    tp = tp._replace(svd_method="jacobi_core_fast")
-    _, tr = evolve_floquet_scan(psi, gates, n_periods, tp, frame="merged")
-    np.asarray(tr["loschmidt_echo"])         # sync (block_until_ready is a
-    best = 0.0                               # no-op through the axon tunnel)
-    for _ in range(3):
-        t0 = time.time()
-        _, tr = evolve_floquet_scan(psi, gates, n_periods, tp,
-                                    frame="merged")
+    chi2 = 2 * psi.lam.shape[-1]
+    psi = pad_mps(psi, chi2)
+    for _ in range(2):                       # chunked settle (see docstring)
+        psi, tr = evolve_floquet_scan(psi, gates, 5, tp, frame="merged")
         np.asarray(tr["loschmidt_echo"])
-        best = max(best, n_periods / (time.time() - t0))
-    return best
+    best, _ = _time_steady(psi, gates, tp, n_timed)
+    return best, chi2
 
 
 def main() -> None:
@@ -159,7 +205,10 @@ def main() -> None:
     enable_compilation_cache()
 
     window = run_ensemble_window(ENSEMBLE_R, N_WINDOW)
-    steady = run_steady(N_STEADY)
+    psi, gates, tp = _steady_state()
+    steady, cert_err = run_steady(psi, gates, tp, N_STEADY)
+    steady_exact = run_steady_exact(psi, gates, tp, N_STEADY)
+    chi512, chi2 = run_steady_chi512(psi, gates, tp, N_STEADY // 2)
 
     denom_window = denom_steady = None
     # quick mode runs a tiny config: the recorded L=40 denominators do not
@@ -183,6 +232,16 @@ def main() -> None:
         "steady_periods_per_sec": round(steady, 4),
         "steady_vs_baseline": round(steady / denom_steady, 3)
         if denom_steady else None,
+        # machine-checked accuracy certificate for the projected steady
+        # path: max per-period discarded-weight UPPER BOUND (variational,
+        # see run_steady docstring) over the timed window
+        "steady_cert_err_per_period": float(f"{cert_err:.3e}"),
+        # bit-faithful (non-projected) steady leg, same settled state
+        "steady_exact_periods_per_sec": round(steady_exact, 4),
+        "steady_exact_vs_baseline": round(steady_exact / denom_steady, 3)
+        if denom_steady else None,
+        # scaling headroom: saturated steady at double chi (chi=512 prod)
+        "steady_chi%d_periods_per_sec" % chi2: round(chi512, 4),
         "baseline": "single-core NumPy/LAPACK TEBD (reference-equivalent, "
                     "dynamic rank); window %.4f p/s, steady %.4f p/s"
                     % (denom_window, denom_steady)

@@ -227,6 +227,39 @@ print(json.dumps({"serr": serr, "offmax": offmax, "disc_conservative": cons}))
 
 
 @tpu_only
+def test_compiled_jacobi_core_fast_cert_bound():
+    """The bench certificate config: csvd_topk(method='jacobi_core_fast')
+    on STEEP steady-class spectra (the class the fast variant is gated
+    on).  bench.py emits max per-period trunc_err as a certified upper
+    bound on discarded weight, which is sound iff the reported disc stays
+    conservative (>= true disc up to the f32 Frobenius reduction noise)
+    for THIS config -- pinned here on the compiled kernel."""
+    out = _run_child("""
+import json, numpy as np, jax.numpy as jnp
+from timecrystal_tpu.ops.cpx import C
+from timecrystal_tpu.ops.csvd import csvd_topk
+rng = np.random.RandomState(11)
+B, n, k = 4, 512, 256
+M = np.zeros((B, n, n), np.complex64)
+for i in range(B):
+    q1, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
+    q2, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
+    M[i] = (q1 * np.logspace(0, -7, n)) @ q2.conj().T
+th = C(jnp.asarray(M.real), jnp.asarray(M.imag))
+S, Vh, disc = csvd_topk(th, k, method="jacobi_core_fast")
+S = np.asarray(S)
+Sref = np.linalg.svd(M, compute_uv=False)
+serr = float(np.max(np.abs(S - Sref[:, :k])) / Sref.max())
+d_true = np.sum(Sref[:, k:] ** 2, axis=1)
+norm2 = np.sum(Sref ** 2, axis=1)
+cons = bool(np.all(np.asarray(disc) >= d_true - 1e-4 * norm2))
+print(json.dumps({"serr": serr, "disc_conservative": cons}))
+""")
+    assert out["serr"] < 1e-3, out
+    assert out["disc_conservative"], out
+
+
+@tpu_only
 def test_compiled_small_n_svd_paths():
     """csvd_topk small-n routing on TPU: 'auto' at n=128/batch 6 routes to
     the Jacobi kernel (small batch -> kernel beats the backend's flat-cost
