@@ -61,6 +61,9 @@ if os.environ.get("TCT_BENCH_QUICK"):
     ENSEMBLE_R = 2
     CHI_START = 16
     CHUNK = 5
+# per-bond kept-weight-overshoot ceiling of the jacobi_core_fast path
+# (see run_steady docstring; measured + smoke-tier-pinned)
+CERT_SLACK_PER_BOND = 1e-4
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "baselines", "baseline_cpu.json")
 # steady-state denominator (60-period run, tail=10; per-period series used
@@ -158,16 +161,30 @@ def run_steady(psi, gates, tp, n_periods: int):
     full quintic precision.
 
     Returns (periods/s, cert_err): cert_err is the MACHINE-CHECKED
-    accuracy certificate for the projected path -- the max per-period
-    reported discarded weight over the timed window.  The projected
-    kernels' reported disc is a VARIATIONAL UPPER BOUND on the true
-    discarded Schmidt weight (kept S <= true S per triplet, disc >= true
-    disc; tests/test_csvd.py::TestJacobiCore pins the property), so the
-    certificate is sound per period with no reference trace needed."""
+    accuracy certificate for the projected path -- an upper bound on the
+    squared Schmidt weight discarded in any single period of the timed
+    window:
+
+        cert = max_period(reported trunc_err)
+               + n_bond_updates_per_period * CERT_SLACK_PER_BOND
+
+    The reported disc alone is variational ONLY up to the kept-weight
+    overshoot of the fast polish (f32 Frobenius noise + orthonormality
+    defects let sum S^2 exceed the true top-k weight, clamping disc to
+    0.0 at steady state); the slack term covers that overshoot with a
+    measured ceiling: worst observed 2.1e-5 per unit-norm bond across
+    four adversarial spectrum classes (baselines/cert_slack_experiment.py,
+    compiled kernel), smoke-tier-asserted <= 5e-5
+    (tests/test_tpu_smoke.py::test_compiled_jacobi_core_fast_cert_bound),
+    bench uses 1e-4 = 2x the asserted ceiling.  Each bond theta has unit
+    Frobenius norm (the state is normalized), so the per-bond constant
+    applies as-is; one merged period updates L-1 bonds."""
     best, terr = _time_steady(psi, gates,
                               tp._replace(svd_method="jacobi_core_fast"),
                               n_periods)
-    return best, float(np.max(terr))
+    n_bond_updates = CONFIG["L"] - 1          # one merged Ising sweep
+    cert = float(np.max(terr)) + n_bond_updates * CERT_SLACK_PER_BOND
+    return best, cert
 
 
 def run_steady_exact(psi, gates, tp, n_periods: int) -> float:
@@ -233,9 +250,11 @@ def main() -> None:
         "steady_vs_baseline": round(steady / denom_steady, 3)
         if denom_steady else None,
         # machine-checked accuracy certificate for the projected steady
-        # path: max per-period discarded-weight UPPER BOUND (variational,
-        # see run_steady docstring) over the timed window
+        # path: per-period discarded-weight UPPER BOUND = max reported
+        # trunc_err + (L-1) x measured overshoot ceiling (run_steady
+        # docstring; slack pinned by the TPU smoke tier)
         "steady_cert_err_per_period": float(f"{cert_err:.3e}"),
+        "steady_cert_slack_per_bond": CERT_SLACK_PER_BOND,
         # bit-faithful (non-projected) steady leg, same settled state
         "steady_exact_periods_per_sec": round(steady_exact, 4),
         "steady_exact_vs_baseline": round(steady_exact / denom_steady, 3)

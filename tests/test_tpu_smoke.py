@@ -228,35 +228,43 @@ print(json.dumps({"serr": serr, "offmax": offmax, "disc_conservative": cons}))
 
 @tpu_only
 def test_compiled_jacobi_core_fast_cert_bound():
-    """The bench certificate config: csvd_topk(method='jacobi_core_fast')
-    on STEEP steady-class spectra (the class the fast variant is gated
-    on).  bench.py emits max per-period trunc_err as a certified upper
-    bound on discarded weight, which is sound iff the reported disc stays
-    conservative (>= true disc up to the f32 Frobenius reduction noise)
-    for THIS config -- pinned here on the compiled kernel."""
+    """The bench certificate config: csvd_topk(method='jacobi_core_fast').
+    bench.py emits cert = max trunc_err + (L-1) * CERT_SLACK_PER_BOND as
+    a per-period discarded-weight bound; its soundness rests on the
+    KEPT-WEIGHT OVERSHOOT (sum S^2 - true top-k weight, the amount by
+    which reported disc can under-report) staying below the slack
+    constant.  Pinned here on the compiled kernel at <= 5e-5 per
+    unit-norm bond across a steep steady-class spectrum AND a
+    rank-deficient one (bench's CERT_SLACK_PER_BOND = 1e-4 keeps 2x
+    margin; full measurement: baselines/cert_slack_experiment.py)."""
     out = _run_child("""
 import json, numpy as np, jax.numpy as jnp
 from timecrystal_tpu.ops.cpx import C
 from timecrystal_tpu.ops.csvd import csvd_topk
 rng = np.random.RandomState(11)
 B, n, k = 4, 512, 256
-M = np.zeros((B, n, n), np.complex64)
-for i in range(B):
-    q1, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
-    q2, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
-    M[i] = (q1 * np.logspace(0, -7, n)) @ q2.conj().T
-th = C(jnp.asarray(M.real), jnp.asarray(M.imag))
-S, Vh, disc = csvd_topk(th, k, method="jacobi_core_fast")
-S = np.asarray(S)
-Sref = np.linalg.svd(M, compute_uv=False)
-serr = float(np.max(np.abs(S - Sref[:, :k])) / Sref.max())
-d_true = np.sum(Sref[:, k:] ** 2, axis=1)
-norm2 = np.sum(Sref ** 2, axis=1)
-cons = bool(np.all(np.asarray(disc) >= d_true - 1e-4 * norm2))
-print(json.dumps({"serr": serr, "disc_conservative": cons}))
+res = {}
+for tag, spec in (("steep", np.logspace(0, -7, n)),
+                  ("rankdef", np.concatenate([np.linspace(1, 0.01, 128),
+                                              np.zeros(n - 128)]))):
+    M = np.zeros((B, n, n), np.complex64)
+    for i in range(B):
+        q1, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
+        q2, _ = np.linalg.qr(rng.randn(n, n) + 1j * rng.randn(n, n))
+        s = spec / max(np.linalg.norm(spec), 1e-30)   # unit Frobenius
+        M[i] = (q1 * s) @ q2.conj().T
+    th = C(jnp.asarray(M.real), jnp.asarray(M.imag))
+    S, Vh, disc = csvd_topk(th, k, method="jacobi_core_fast")
+    S = np.asarray(S, np.float64)
+    Sref = np.linalg.svd(M, compute_uv=False).astype(np.float64)
+    res[tag + "_serr"] = float(np.max(np.abs(S - Sref[:, :k])) / Sref.max())
+    res[tag + "_overshoot"] = float(
+        np.max(np.sum(S ** 2, axis=1) - np.sum(Sref[:, :k] ** 2, axis=1)))
+print(json.dumps(res))
 """)
-    assert out["serr"] < 1e-3, out
-    assert out["disc_conservative"], out
+    assert out["steep_serr"] < 1e-3, out
+    assert out["steep_overshoot"] < 5e-5, out
+    assert out["rankdef_overshoot"] < 5e-5, out
 
 
 @tpu_only
