@@ -105,7 +105,11 @@ class TestTwoProcessCluster:
 
         paths = {name: str(tmp_path / f"{name}.npz")
                  for name in ("rank0", "rank1", "single")}
-        spawn_cluster(paths, timeout=300)
+        # 600 s: a COLD compilation cache compiles every leg (fixed +
+        # thetas + staged + ckpt-resume + site + memory) from scratch in
+        # three child processes -- measured ~300 s total, which the old
+        # 300 s budget hit exactly; warm-cache runs take ~70 s
+        spawn_cluster(paths, timeout=600)
 
         data = {}
         for name, o in paths.items():

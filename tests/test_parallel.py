@@ -507,15 +507,21 @@ class TestEnsembleCorrelationTraces:
         np.testing.assert_allclose(np.asarray(sharded["zz2t_re"]),
                                    np.asarray(tr["zz2t_re"]), atol=1e-12)
 
-    def test_staged_rejects_correlation_site(self):
-        import pytest
-
+    def test_staged_correlation_site_via_disorder_ensemble(self):
+        """correlation_site now WORKS on the chi-staged ensemble path
+        (round-4 VERDICT seam, closed round 5: it used to raise
+        NotImplementedError here) -- staged and fixed-chi zz_corr agree."""
         from timecrystal_tpu.parallel.sweep import disorder_ensemble
 
         spec = _spec(L=8, chi=16, n=4)
-        with pytest.raises(NotImplementedError, match="chi-staged"):
-            disorder_ensemble(jax.random.PRNGKey(0), 2, spec, 0.3, 1.0,
-                              staged=True, correlation_site=3)
+        key = jax.random.PRNGKey(0)
+        ref = disorder_ensemble(key, 2, spec, 0.3, 1.0, correlation_site=3)
+        tr = disorder_ensemble(key, 2, spec, 0.3, 1.0, staged=True,
+                               chi_start=4, chunk_periods=2,
+                               correlation_site=3)
+        assert tr["zz_corr"].shape == (2, 5, spec.L)
+        np.testing.assert_allclose(tr["zz_corr"], np.asarray(ref["zz_corr"]),
+                                   atol=1e-9)
 
 
 class TestDriveStrengthAxis:
