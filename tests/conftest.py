@@ -24,3 +24,25 @@ jax.config.update("jax_enable_x64", True)
 from timecrystal_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """Free each module's compiled XLA executables before the next starts.
+
+    A monolithic ``pytest tests/`` run accumulates every module's compiled
+    programs in-process; at round-5 suite size that reproducibly crashed
+    the CPU client (SIGSEGV/SIGABRT inside a later pjit compile --
+    always the same compile once the suite grew past ~300 programs;
+    per-module subprocess runs like tests/run_tests.py never hit it).
+    Dropping the in-memory executable caches at module boundaries keeps
+    the live-program count bounded; the persistent compilation cache
+    makes the occasional re-compile a cheap deserialization.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
